@@ -1,0 +1,26 @@
+"""Test configuration: force JAX onto a simulated 8-device CPU mesh.
+
+Multi-chip sharding logic is exercised on virtual CPU devices so the
+suite runs anywhere; benchmarks use the real TPU separately.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_WAV = pathlib.Path("/root/reference/test/vdl2_model_16b_1050kHz.wav")
+
+
+@pytest.fixture(scope="session")
+def reference_wav() -> pathlib.Path:
+    if not REFERENCE_WAV.exists():
+        pytest.skip("bundled reference capture not available")
+    return REFERENCE_WAV
