@@ -1,0 +1,229 @@
+"""Streaming receive pipeline: raw IQ blocks in, decoded frames out.
+
+Orchestrates the TPU block kernels (front-end channelizer + batched
+sync/slicer) and the host-side bit-level decoder.  Replaces the
+reference's thread/barrier/queue topology (dumpvdl2.c:117-135,
+decode.c:52-53) with overlap-save block processing:
+
+* each ``feed()`` call channelizes one wideband block for all channels
+  at once (batch dimension == channel axis; on a mesh this axis is
+  sharded, see dumpvdl2_tpu.parallel),
+* a decimated-sample halo is carried between blocks so bursts that
+  straddle a block boundary are re-detected and decoded once fully
+  contained (the reference instead carries per-channel demod state),
+* candidate suppression reproduces the reference's behavior of not
+  searching for sync while a burst is being received.
+"""
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.signal
+
+from ..burst import BurstResult, decode_burst, header_info
+from ..constants import (HEADER_LEN, MAG_LP, NF_LP, SPS, SYMBOL_RATE,
+                         SYNC_THRESHOLD)
+from ..dsp import demod as demod_mod
+from ..dsp.chebyshev import fir_taps
+from ..dsp.frontend import mix_filter_decimate, nco_dphi
+from ..fec.scramble import descramble
+from ..utils.bits import symbols_to_bits_msb
+from .metadata import DecodedFrame, MsgMetadata
+
+# Longest possible burst in decimated samples (header + max payload), see
+# burst geometry in fec/interleave.py: 16825 bits -> 5609 symbols.
+MAX_BURST_SYMS = 5616
+DEFAULT_HALO = MAX_BURST_SYMS * SPS + 256
+
+
+@dataclass
+class ChannelState:
+    freq: int
+    busy_until: int = 0         # global decimated index; no sync search before
+    next_det_min: int = 0       # first unprocessed detection index
+    mag_lp: float = 0.0
+    mag_nf: float = 2.0
+    nfcnt: int = 0
+    stats: dict = field(default_factory=dict)
+
+    def bump(self, counter: str, n: int = 1) -> None:
+        self.stats[counter] = self.stats.get(counter, 0) + n
+
+
+class VDL2Pipeline:
+    def __init__(self, freqs: list[int], centerfreq: int, sample_rate: int,
+                 oversample: int, max_ppm: float = 0.0,
+                 station_id: str | None = None,
+                 max_candidates: int = 64, demod_fn=None):
+        self.freqs = list(freqs)
+        self.centerfreq = int(centerfreq)
+        self.sample_rate = int(sample_rate)
+        self.oversample = int(oversample)
+        self.max_ppm = float(max_ppm)
+        self.station_id = station_id
+        self.max_candidates = int(max_candidates)
+        self._demod_fn = demod_fn or demod_mod.find_and_slice
+
+        self.taps = fir_taps(sample_rate)
+        self.dphi = np.array([nco_dphi(centerfreq, f, sample_rate)
+                              for f in freqs], dtype=np.uint32)
+        C, T = len(freqs), self.taps.size
+        self.carry = np.zeros((C, T - 1), dtype=np.complex64)
+        self.n0 = 0                                   # raw-sample NCO index
+        self.hist = np.zeros((C, 0), dtype=np.complex64)
+        self.hist_base = 0        # global decimated index of hist[:, 0]
+        self.channels = [ChannelState(freq=f) for f in freqs]
+        self._ema_zi = np.zeros((C, 1))
+        self._residual = np.zeros(0, dtype=np.complex64)
+
+    # ------------------------------------------------------------- front end
+    def _channelize(self, iq: np.ndarray) -> np.ndarray:
+        dec, carry = mix_filter_decimate(
+            iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
+            self.carry, self.oversample)
+        self.carry = carry
+        self.n0 = (self.n0 + iq.size) & 0xFFFFFF
+        return np.asarray(dec)
+
+    # ----------------------------------------------------------- noise floor
+    def _update_noise_floor(self, dec: np.ndarray) -> None:
+        """EMA magnitude tracker (demod.c:238-243), per fresh block."""
+        mags = np.abs(dec[:, ::3]).astype(np.float64)
+        alpha = 1.0 - MAG_LP
+        for c, ch in enumerate(self.channels):
+            y, zi = scipy.signal.lfilter(
+                [alpha], [1.0, -MAG_LP], mags[c],
+                zi=np.array([MAG_LP * ch.mag_lp]))
+            ch.mag_lp = float(y[-1]) if y.size else ch.mag_lp
+            # nf update fires every 1000 tracked magnitudes
+            n = mags.shape[1]
+            first = 1000 - ch.nfcnt
+            k = ch.nfcnt + n
+            while first <= n:
+                v = float(y[first - 1])
+                ch.mag_nf = NF_LP * ch.mag_nf + \
+                    (1.0 - NF_LP) * min(v, ch.mag_nf) + 0.0001
+                first += 1000
+            ch.nfcnt = k % 1000
+
+    # ------------------------------------------------------------- candidates
+    def _process_candidates(self, cands, base: int, eof: bool
+                            ) -> list[DecodedFrame]:
+        out: list[DecodedFrame] = []
+        count = np.asarray(cands.count)
+        det_idx = np.asarray(cands.det_idx)
+        sync_idx = np.asarray(cands.sync_idx)
+        dphi = np.asarray(cands.dphi)
+        symbols = np.asarray(cands.symbols)
+        sym_valid = np.asarray(cands.sym_valid)
+        power = np.asarray(cands.power)
+
+        for c, ch in enumerate(self.channels):
+            for k in range(int(count[c])):
+                if k >= det_idx.shape[1]:
+                    ch.bump("demod.sync.overflow")
+                    break
+                det_g = base + int(det_idx[c, k])
+                sp_g = base + int(sync_idx[c, k])
+                if det_g < ch.next_det_min or det_g < ch.busy_until:
+                    continue
+                nsyms_avail = int(sym_valid[c, k])
+                if nsyms_avail < (HEADER_LEN + 2) // 3 + 1:
+                    if eof:
+                        ch.next_det_min = det_g + 1
+                        continue
+                    ch.next_det_min = det_g   # retry next block
+                    break
+                ch.bump("demod.sync.good")
+                syms = symbols[c, k]
+                hdr_bits = symbols_to_bits_msb(syms[:9])[:HEADER_LEN]
+                hdr = header_info(descramble(hdr_bits))
+                if not hdr.ok:
+                    ch.bump("decoder.errors." + hdr.reason)
+                    ch.busy_until = sp_g + 9 * SPS
+                    ch.next_det_min = det_g + 1
+                    continue
+                total_syms = -(-hdr.bits_consumed // 3)
+                if nsyms_avail < total_syms:
+                    if not eof:
+                        ch.next_det_min = det_g
+                        break
+                    ch.next_det_min = det_g + 1   # truncated at EOF: lost
+                    ch.bump("decoder.errors.eof_truncated")
+                    continue
+                dphi_ck = float(dphi[c, k])
+                ppm = SYMBOL_RATE * dphi_ck / (2.0 * math.pi * ch.freq) * 1e6
+                if self.max_ppm and abs(ppm) > self.max_ppm:
+                    ch.next_det_min = det_g + 1
+                    continue
+                bits = symbols_to_bits_msb(
+                    syms[:total_syms])[:hdr.bits_consumed]
+                res = decode_burst(bits)
+                ch.busy_until = sp_g + total_syms * SPS
+                ch.next_det_min = det_g + 1
+                frame_pwr = float(power[c, k, :total_syms].mean())
+                self._count_burst(ch, res)
+                for i, frame in enumerate(res.frames):
+                    md = MsgMetadata(
+                        station_id=self.station_id, freq=ch.freq,
+                        frame_pwr_dbfs=10.0 * math.log10(max(frame_pwr, 1e-30)),
+                        nf_pwr_dbfs=20.0 * math.log10(ch.mag_nf + 0.001),
+                        ppm_error=ppm,
+                        burst_timestamp=time.time(),
+                        datalen_octets=res.datalen_octets,
+                        synd_weight=res.synd_weight,
+                        num_fec_corrections=res.num_fec_corrections,
+                        idx=i)
+                    out.append(DecodedFrame(metadata=md, frame=frame))
+        return out
+
+    def _count_burst(self, ch: ChannelState, res: BurstResult) -> None:
+        if res.synd_weight == 0:
+            ch.bump("decoder.crc.good")
+        if res.ok:
+            ch.bump("decoder.msg.good", max(len(res.frames), 1))
+        elif res.reason:
+            ch.bump("decoder.errors." + res.reason)
+
+    # ------------------------------------------------------------------ feed
+    def feed(self, iq: np.ndarray, eof: bool = False) -> list[DecodedFrame]:
+        """Process one wideband complex64 block; returns decoded frames.
+
+        ``iq`` is the dequantized complex baseband at the ingest rate.
+        Length need not be aligned; a residual is carried internally.
+        """
+        iq = np.ascontiguousarray(iq, dtype=np.complex64)
+        if self._residual.size:
+            iq = np.concatenate([self._residual, iq])
+        usable = (iq.size // self.oversample) * self.oversample
+        self._residual = iq[usable:]
+        iq = iq[:usable]
+        if iq.size == 0:
+            return self.finish() if eof else []
+
+        dec = self._channelize(iq)
+        self._update_noise_floor(dec)
+
+        block = np.concatenate([self.hist, dec], axis=1)
+        base = self.hist_base
+        cands = self._demod_fn(block, SYNC_THRESHOLD,
+                               self.max_candidates, MAX_BURST_SYMS)
+        frames = self._process_candidates(cands, base, eof=False)
+
+        halo = min(DEFAULT_HALO, block.shape[1])
+        self.hist = block[:, block.shape[1] - halo:]
+        self.hist_base = base + block.shape[1] - halo
+        if eof:
+            frames.extend(self.finish())
+        return frames
+
+    def finish(self) -> list[DecodedFrame]:
+        """Flush: resolve deferred candidates with the data we have."""
+        if self.hist.shape[1] == 0:
+            return []
+        cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
+                               self.max_candidates, MAX_BURST_SYMS)
+        return self._process_candidates(cands, self.hist_base, eof=True)

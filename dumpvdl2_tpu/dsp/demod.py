@@ -1,0 +1,159 @@
+"""Block-batched D8PSK frame sync and symbol slicer.
+
+Replaces the reference's per-sample sync state machine
+(demod.c:105-286) with whole-array operations over a block of
+decimated samples:
+
+* the preamble error metric is evaluated at EVERY sample (the
+  reference skips 2 of 3 samples to save CPU; on TPU the dense
+  evaluation is nearly free and strictly improves detection),
+* sync points are local minima of the metric below threshold, with
+  the same parabolic-vertex interpolation for the symbol clock,
+* all candidate bursts in the block are demodulated in one batched
+  gather instead of sequentially.
+
+Each candidate yields a fixed-size symbol window; the bit-level L2
+decoder consumes only the transmission length the burst header
+declares.  Suppression of candidates inside an already-decoded burst
+(the reference can't sync while in DM_SYNC) happens on the host,
+where burst lengths are known.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (ARITY, GRAYCODE, PREAMBLE_PHASE_UNITS, PREAMBLE_SYMS,
+                         SPS, SYNC_THRESHOLD)
+
+# Cumulative preamble symbol phases, wrapped to (-pi, pi]
+PR_PHASE = np.array(PREAMBLE_PHASE_UNITS, dtype=np.float32) * np.float32(np.pi / 4)
+
+# Linear-regression constants over the 16 preamble symbols
+_LR_X = np.arange(PREAMBLE_SYMS, dtype=np.float32) - (PREAMBLE_SYMS - 1) / 2.0
+_LR_DENOM = float((_LR_X ** 2).sum())
+
+_LOOKBACK = (PREAMBLE_SYMS - 1) * SPS  # oldest sample the metric reaches back to
+
+
+class Candidates(NamedTuple):
+    """Fixed-size per-block candidate set (per channel)."""
+    count: jax.Array      # (C,) int32 number of valid candidates (<= K)
+    det_idx: jax.Array    # (C, K) int32 detection sample index, -1 if unused
+    sync_idx: jax.Array   # (C, K) int32 sync point sp (symbol clock origin)
+    dphi: jax.Array       # (C, K) f32 freq offset per symbol at the minimum
+    pherr: jax.Array      # (C, K) f32 metric at the minimum
+    symbols: jax.Array    # (C, K, S) uint8 gray-decoded 3-bit symbols
+    sym_valid: jax.Array  # (C, K) int32 number of demodulable symbols
+    power: jax.Array      # (C, K, S) f32 per-symbol power (|iq|^2)
+
+
+def sync_error_metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Preamble sync error and frequency offset at every sample.
+
+    ``phases``: (C, M) f32 sample phases.  Returns (err, freq_err),
+    each (C, M): err[n] is the residual sum-of-squares of the preamble
+    fit ending at sample n (n >= 150; earlier entries use wrapped
+    history and are masked by the caller), freq_err[n] the fitted
+    per-symbol frequency offset.
+    """
+    C, M = phases.shape
+    L = M - _LOOKBACK
+    # sym[i, :, n] = phase at sample (n + 150) - (15-i)*10
+    sym = jnp.stack([phases[:, i * SPS: L + i * SPS]
+                     for i in range(PREAMBLE_SYMS)])          # (16, C, L)
+    err = sym - jnp.asarray(PR_PHASE)[:, None, None]
+    # unwrap along the symbol axis: remove jumps larger than pi
+    d = jnp.diff(err, axis=0)
+    adj = jnp.where(d > jnp.pi, -2 * jnp.pi, 0.0) + \
+        jnp.where(d < -jnp.pi, 2 * jnp.pi, 0.0)
+    unwrap = jnp.concatenate([jnp.zeros_like(adj[:1]),
+                              jnp.cumsum(adj, axis=0)], axis=0)
+    errvec = err + unwrap
+    errvec = errvec - errvec.mean(axis=0, keepdims=True)
+    lr_x = jnp.asarray(_LR_X)[:, None, None]
+    freq = (lr_x * errvec).sum(axis=0) / _LR_DENOM            # (C, L)
+    resid = errvec - freq * lr_x
+    e = (resid * resid).sum(axis=0)                           # (C, L)
+    pad = jnp.full((C, _LOOKBACK), jnp.inf, dtype=e.dtype)
+    return (jnp.concatenate([pad, e], axis=1),
+            jnp.concatenate([jnp.zeros((C, _LOOKBACK), freq.dtype), freq],
+                            axis=1))
+
+
+def _parabola_vertex(y1: jax.Array, y2: jax.Array, y3: jax.Array) -> jax.Array:
+    """Vertex x of the parabola through (-2,y1), (-1,y2), (0,y3)."""
+    a = (y1 - 2.0 * y2 + y3) / 2.0
+    b = (3.0 * y3 - 4.0 * y2 + y1) / 2.0
+    safe = jnp.abs(a) > 1e-12
+    return jnp.where(safe, -b / (2.0 * jnp.where(safe, a, 1.0)), -1.0)
+
+
+@partial(jax.jit, static_argnames=("max_candidates", "max_symbols"))
+def find_and_slice(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
+                   max_candidates: int = 64, max_symbols: int = 5616
+                   ) -> Candidates:
+    """Locate sync points in a block and demodulate candidate bursts.
+
+    ``iq``: (C, M) complex64 decimated channel samples (history/halo
+    already prepended by the caller).
+    """
+    C, M = iq.shape
+    K, S = max_candidates, max_symbols
+    phases = jnp.arctan2(iq.imag, iq.real)
+    err, freq = sync_error_metric(phases)
+
+    # Detection: the metric passed a below-threshold local minimum.
+    e0, e1, e2 = err, jnp.roll(err, 1, axis=1), jnp.roll(err, 2, axis=1)
+    mask = (e1 < threshold) & (e0 > e1)
+    mask = mask.at[:, :_LOOKBACK + 2].set(False)
+
+    # First K detections per channel, in time order.
+    rank = jnp.cumsum(mask, axis=1) - 1                       # (C, M)
+    scatter_idx = jnp.where(mask, rank, K)
+    det_idx = jnp.full((C, K), -1, dtype=jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (C, M))
+    det_idx = det_idx.at[jnp.arange(C)[:, None], scatter_idx].set(
+        pos, mode="drop")
+    count = mask.sum(axis=1).astype(jnp.int32)
+    valid = det_idx >= 0
+
+    def take(arr, idx):
+        return jnp.take_along_axis(arr, jnp.maximum(idx, 0), axis=1)
+
+    y3 = take(e0, det_idx)
+    y2 = take(e1, det_idx)
+    y1 = take(e2, det_idx)
+    vertex = _parabola_vertex(y1, y2, y3)
+    sclk = jnp.round(-vertex).astype(jnp.int32)
+    sync_idx = jnp.where(valid, det_idx - sclk, -1)
+    dphi = take(freq, det_idx - 1)
+    pherr = y2
+
+    # Batched symbol slicing: phases at sp + 10*j, j = 0..S
+    steps = jnp.arange(S + 1, dtype=jnp.int32) * SPS          # (S+1,)
+    gather = sync_idx[..., None] + steps[None, None, :]       # (C, K, S+1)
+    in_range = (gather >= 0) & (gather < M)
+    gidx = jnp.clip(gather, 0, M - 1)
+    sym_phase = jnp.take_along_axis(
+        phases[:, None, :], gidx.reshape(C, -1)[:, None, :], axis=2
+    ).reshape(C, K, S + 1)
+    dp = sym_phase[..., 1:] - sym_phase[..., :-1] - dphi[..., None]
+    dp = jnp.where(dp < 0, dp + 2 * jnp.pi, dp)
+    dp = jnp.where(dp > 2 * jnp.pi, dp - 2 * jnp.pi, dp)
+    idx = jnp.round(dp / (jnp.pi / 4)).astype(jnp.int32) % ARITY
+    symbols = jnp.asarray(GRAYCODE, dtype=jnp.uint8)[idx]     # (C, K, S)
+
+    power = jnp.take_along_axis(
+        (iq.real ** 2 + iq.imag ** 2)[:, None, :],
+        gidx.reshape(C, -1)[:, None, :], axis=2
+    ).reshape(C, K, S + 1)[..., 1:]
+    sym_valid = jnp.where(
+        valid, jnp.sum(in_range[..., 1:], axis=-1).astype(jnp.int32), 0)
+    return Candidates(count=count, det_idx=det_idx, sync_idx=sync_idx,
+                      dphi=dphi, pherr=pherr, symbols=symbols,
+                      sym_valid=sym_valid, power=power)

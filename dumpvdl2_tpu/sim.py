@@ -132,6 +132,40 @@ def bits_to_symbols(bits: np.ndarray) -> np.ndarray:
     return inv_gray[sym]
 
 
+def synthesize_iq_raw(frames: list[bytes], oversample: int = 10,
+                      carrier_offset_hz: float = 0.0, snr_db: float = 40.0,
+                      lead_in_syms: int = 60, tail_syms: int = 30,
+                      seed: int = 0) -> np.ndarray:
+    """Complex64 burst at the ingest rate (oversample * SPS per symbol).
+
+    Shifts the burst to ``carrier_offset_hz`` relative to the receiver
+    center frequency to exercise the NCO/channelizer path.
+    """
+    from .constants import SYMBOL_RATE
+    rng = np.random.default_rng(seed)
+    fs = SYMBOL_RATE * SPS * oversample
+    bits = build_burst_bits(frames)
+    steps = bits_to_symbols(bits)
+    pre = np.array(PREAMBLE_PHASE_UNITS, dtype=np.float64) * (np.pi / 4)
+    phase = list(pre)
+    cur = pre[-1]
+    for k in steps:
+        cur += k * np.pi / 4
+        phase.append(cur)
+    spsym = SPS * oversample
+    sym_samples = np.repeat(np.exp(1j * np.array(phase)), spsym)
+    sig = np.concatenate([
+        np.zeros(lead_in_syms * spsym, np.complex128),
+        sym_samples,
+        np.zeros(tail_syms * spsym, np.complex128)])
+    if carrier_offset_hz:
+        t = np.arange(sig.size) / fs
+        sig = sig * np.exp(2j * np.pi * carrier_offset_hz * t)
+    npow = 10 ** (-snr_db / 10)
+    noise = rng.standard_normal(sig.size) + 1j * rng.standard_normal(sig.size)
+    return (sig + noise * np.sqrt(npow / 2)).astype(np.complex64)
+
+
 def synthesize_iq(frames: list[bytes], fs_decimated: float = SPS * 10500.0,
                   snr_db: float = 40.0, freq_offset_hz: float = 0.0,
                   lead_in_syms: int = 50, seed: int = 0,

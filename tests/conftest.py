@@ -5,7 +5,7 @@ suite runs anywhere; benchmarks use the real TPU separately.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,7 +13,12 @@ if "host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS; override it explicitly so tests run on the CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_WAV = pathlib.Path("/root/reference/test/vdl2_model_16b_1050kHz.wav")
