@@ -1,0 +1,110 @@
+"""DSP-layer tests: filter design, sync, slicing, full pipeline."""
+import numpy as np
+import pytest
+import scipy.signal
+
+from dumpvdl2_tpu import sim
+from dumpvdl2_tpu.burst import decode_burst
+from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
+from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
+from dumpvdl2_tpu.dsp.chebyshev import design_lpf, fir_taps
+from dumpvdl2_tpu.dsp.demod import find_and_slice
+from dumpvdl2_tpu.io.iqfile import iq_blocks
+from dumpvdl2_tpu.utils.bits import symbols_to_bits_msb
+
+FS = SYMBOL_RATE * SPS * 10  # 1.05 Msps
+
+
+def test_chebyshev_design_matches_iir():
+    a, b = design_lpf(8000 / FS, 0.5, 2)
+    h = fir_taps(FS)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4000).astype(np.float32)
+    y_iir = scipy.signal.lfilter(a, np.concatenate([[1.0], -b[1:]]), x)
+    y_fir = np.convolve(x, h)[:x.size]
+    assert np.abs(y_iir - y_fir).max() < 1e-6
+
+
+def test_chebyshev_response_shape():
+    a, b = design_lpf(8000 / FS, 0.5, 2)
+    w, resp = scipy.signal.freqz(
+        a, np.concatenate([[1.0], -b[1:]]),
+        worN=[1e-4, 8000 / FS * 2 * np.pi, 52500 / FS * 2 * np.pi])
+    mag_db = 20 * np.log10(np.abs(resp))
+    assert abs(mag_db[0]) < 0.01          # ~unity at DC
+    assert -4.0 < mag_db[1] < -2.0        # -3 dB point near cutoff
+    assert mag_db[2] < -30.0              # alias rejection at 52.5 kHz
+
+
+def test_sync_and_slice_recovers_burst():
+    frames = [b"hello VDL2 world, this is a test frame!"]
+    iq = sim.synthesize_iq(frames, snr_db=30.0, freq_offset_hz=200.0, seed=3)
+    c = find_and_slice(iq[None, :], 4.0, 8, 1024)
+    assert int(np.asarray(c.count)[0]) >= 1
+    syms = np.asarray(c.symbols)[0, 0]
+    tx_bits = sim.build_burst_bits(frames)
+    total_syms = -(-tx_bits.size // 3)
+    bits = symbols_to_bits_msb(syms[:total_syms])[:tx_bits.size]
+    assert np.array_equal(bits, tx_bits)
+    res = decode_burst(bits)
+    assert res.ok
+    assert bytes(res.frames[0][:-2]) == frames[0]
+
+
+@pytest.mark.parametrize("offset_hz", [0.0, -25000.0])
+def test_full_pipeline_synthetic(offset_hz):
+    frames = [b"full pipeline check frame ABCDEF"]
+    iq = sim.synthesize_iq_raw(frames, oversample=10,
+                               carrier_offset_hz=offset_hz, snr_db=35, seed=7)
+    center = 136975000 - int(offset_hz)
+    pipe = VDL2Pipeline(freqs=[136975000], centerfreq=center,
+                        sample_rate=FS, oversample=10)
+    out = pipe.feed(iq, eof=True)
+    assert len(out) == 1
+    assert bytes(out[0].frame[:-2]) == frames[0]
+    assert out[0].metadata.synd_weight == 0
+
+
+def test_pipeline_sensitivity_low_snr():
+    # The burst must still decode at moderate SNR
+    frames = [b"low snr frame"]
+    iq = sim.synthesize_iq_raw(frames, oversample=10, snr_db=13, seed=11)
+    pipe = VDL2Pipeline(freqs=[136975000], centerfreq=136975000,
+                        sample_rate=FS, oversample=10)
+    out = pipe.feed(iq, eof=True)
+    assert len(out) == 1
+    assert bytes(out[0].frame[:-2]) == frames[0]
+
+
+def test_pipeline_block_boundary_burst():
+    """A burst straddling a feed() boundary must decode via the halo."""
+    frames = [b"straddling burst frame payload 0123456789"]
+    iq = sim.synthesize_iq_raw(frames, oversample=10, snr_db=35,
+                               lead_in_syms=200, seed=5)
+    pipe = VDL2Pipeline(freqs=[136975000], centerfreq=136975000,
+                        sample_rate=FS, oversample=10)
+    # split right inside the burst (preamble starts at sym 200)
+    split = 205 * SPS * 10
+    out = pipe.feed(iq[:split])
+    out += pipe.feed(iq[split:], eof=True)
+    assert len(out) == 1
+    assert bytes(out[0].frame[:-2]) == frames[0]
+
+
+@pytest.mark.golden
+def test_golden_capture(reference_wav):
+    """The bundled real capture must yield the reference CI's strings."""
+    pipe = VDL2Pipeline(freqs=[136975000], centerfreq=136975000,
+                        sample_rate=1050000, oversample=10)
+    frames = []
+    with open(reference_wav, "rb") as fh:
+        for blk in iq_blocks(fh, "S16_LE"):
+            frames.extend(pipe.feed(blk))
+    frames.extend(pipe.finish())
+    assert len(frames) == 2
+    blob = b"|".join(bytes(f.frame) for f in frames)
+    assert blob.count(b" -RA BR OVC005\n") == 1
+    assert blob.count(b" SLP135\n") == 1
+    for f in frames:
+        assert f.metadata.synd_weight == 0
+        assert f.metadata.num_fec_corrections == 0
