@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+Mirrors the reference's flag surface (dumpvdl2.c:698-1232): frequencies
+as positional arguments, compositional ``--output`` specs, IQ file and
+raw-frames-file inputs, filtering, metadata-enrichment and metrics
+options.  Live SDR drivers attach through dumpvdl2_tpu.io.sdr.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import __version__
+from ..config import Config, parse_msg_filterspec
+from ..constants import CSC_FREQ, FILE_OVERSAMPLE, SPS, SYMBOL_RATE
+from ..core.pipeline import VDL2Pipeline
+from ..io import iqfile, rawframes
+from ..io.outputs import OutputError, setup_output
+from .decoder import FrameDecoder
+from .stats import stats
+
+DEFAULT_OUTPUT = "decoded:text:file:path=-"
+
+
+def parse_frequency(s: str) -> int:
+    """Accept Hz with optional k/M/G suffix (dumpvdl2.c:648-695)."""
+    s = s.strip()
+    mult = 1.0
+    if s and s[-1] in "kMG":
+        mult = {"k": 1e3, "M": 1e6, "G": 1e9}[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"invalid frequency: {s!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dumpvdl2_tpu",
+        description="TPU-native VDL Mode 2 message decoder and protocol "
+                    "analyzer")
+    p.add_argument("frequencies", nargs="*", type=parse_frequency,
+                   help="VDL2 channel frequencies (Hz; k/M/G suffixes "
+                        "allowed). Default: 136.975 MHz (CSC)")
+    p.add_argument("--version", action="version",
+                   version=f"dumpvdl2_tpu {__version__}")
+
+    gi = p.add_argument_group("input options")
+    gi.add_argument("--iq-file", help="read IQ samples from file "
+                                      "('-' reads from stdin)")
+    gi.add_argument("--raw-frames-file",
+                    help="read raw AVLC frames (binary archive) from file")
+    gi.add_argument("--sample-format", choices=("U8", "S16_LE"),
+                    default="U8", help="IQ sample format (default: U8)")
+    gi.add_argument("--oversample", type=int, default=FILE_OVERSAMPLE,
+                    help="oversampling rate for recorded data "
+                         f"(default: {FILE_OVERSAMPLE}); sample rate = "
+                         f"{SYMBOL_RATE * SPS} * this value")
+    gi.add_argument("--centerfreq", type=parse_frequency, default=None,
+                    help="center frequency of the recorded IQ data (Hz)")
+    gi.add_argument("--soapysdr", help="read from a SoapySDR device "
+                                       "(device query string)")
+    gi.add_argument("--gain", type=float, default=None,
+                    help="SDR gain in dB")
+    gi.add_argument("--correction", type=float, default=0.0,
+                    help="SDR frequency correction in ppm")
+    gi.add_argument("--device-settings",
+                    help="SoapySDR device settings (k1=v1,k2=v2)")
+    gi.add_argument("--antenna", help="SoapySDR antenna selection")
+
+    go = p.add_argument_group("output options")
+    go.add_argument("--output", action="append", default=[],
+                    help="output specification "
+                         "<intype>:<format>:<type>:<k=v,...> "
+                         f"(default: {DEFAULT_OUTPUT})")
+    go.add_argument("--output-queue-hwm", type=int, default=1000,
+                    help="high-water mark on output queues "
+                         "(0 disables; default: 1000)")
+    go.add_argument("--utc", action="store_true",
+                    help="timestamps in UTC")
+    go.add_argument("--milliseconds", action="store_true",
+                    help="print milliseconds in timestamps")
+    go.add_argument("--raw-frames", action="store_true",
+                    help="print raw AVLC frames as hex")
+    go.add_argument("--dump-asn1", action="store_true",
+                    help="dump full ASN.1 structure of CM/CPDLC messages")
+    go.add_argument("--extended-header", action="store_true",
+                    help="print additional fields in message header")
+    go.add_argument("--decode-fragments", action="store_true",
+                    help="decode higher-level protocols in fragmented "
+                         "packets")
+    go.add_argument("--prettify-xml", action="store_true",
+                    help="pretty-print XML payloads in ACARS messages")
+    go.add_argument("--prettify-json", action="store_true",
+                    help="pretty-print JSON payloads in MIAM frames")
+    go.add_argument("--station-id", default=None,
+                    help="station identifier added to messages")
+    go.add_argument("--msg-filter", default="all",
+                    help="message filter specification (comma list, "
+                         "'-' negates)")
+    go.add_argument("--max-ppm", type=float, default=0.0,
+                    help="reject bursts with higher frequency offset")
+    go.add_argument("--statsd", default=None,
+                    help="StatsD daemon address (host:port)")
+    go.add_argument("--gs-file", default=None,
+                    help="ground station info file (MultiPSK format)")
+    go.add_argument("--bs-db", default=None,
+                    help="Basestation aircraft database (SQLite)")
+    go.add_argument("--addrinfo", choices=("terse", "normal", "verbose"),
+                    default="normal",
+                    help="aircraft/ground station info verbosity")
+
+    gt = p.add_argument_group("TPU options")
+    gt.add_argument("--block-size", type=int, default=1 << 20,
+                    help="IQ samples per processing block")
+    gt.add_argument("--platform", default=None,
+                    help="JAX platform override (cpu/tpu)")
+    return p
+
+
+def apply_config(args: argparse.Namespace) -> None:
+    from ..config import AddrInfoVerbosity
+    Config.msg_filter = parse_msg_filterspec(args.msg_filter)
+    Config.max_ppm = args.max_ppm
+    Config.output_queue_hwm = args.output_queue_hwm
+    Config.station_id = args.station_id
+    Config.utc = args.utc
+    Config.milliseconds = args.milliseconds
+    Config.output_raw_frames = args.raw_frames
+    Config.dump_asn1 = args.dump_asn1
+    Config.extended_header = args.extended_header
+    Config.decode_fragments = args.decode_fragments
+    Config.prettify_xml = args.prettify_xml
+    Config.prettify_json = args.prettify_json
+    Config.addrinfo_verbosity = AddrInfoVerbosity[args.addrinfo.upper()]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    apply_config(args)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    fmtr_list = []
+    try:
+        for spec in (args.output or [DEFAULT_OUTPUT]):
+            setup_output(spec, fmtr_list)
+    except OutputError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+    if args.gs_file:
+        from ..io import gs_data
+        gs_data.gs_data_import(args.gs_file)
+    if args.bs_db:
+        from ..io import ac_data
+        ac_data.ac_data_init(args.bs_db)
+    if args.statsd:
+        from ..io.statsd_client import StatsdClient
+        stats.attach_client(StatsdClient(args.statsd,
+                                         namespace="dumpvdl2_tpu",
+                                         station_id=args.station_id))
+
+    decoder = FrameDecoder(fmtr_list)
+    decoder.start_outputs()
+
+    try:
+        if args.raw_frames_file:
+            return run_raw_frames(args, decoder)
+        if args.iq_file:
+            return run_iq_file(args, decoder)
+        if args.soapysdr is not None:
+            from ..io.sdr import run_soapysdr
+            return run_soapysdr(args, decoder, _make_pipeline(args))
+        print("error: no input specified (--iq-file, --raw-frames-file "
+              "or --soapysdr)", file=sys.stderr)
+        return 1
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+        return 130
+    finally:
+        decoder.shutdown()
+
+
+def _make_pipeline(args: argparse.Namespace) -> VDL2Pipeline:
+    freqs = args.frequencies or [CSC_FREQ]
+    sample_rate = SYMBOL_RATE * SPS * args.oversample
+    if args.centerfreq is not None:
+        centerfreq = args.centerfreq
+    elif len(freqs) == 1:
+        centerfreq = freqs[0]
+    else:
+        centerfreq = (min(freqs) + max(freqs)) // 2
+    return VDL2Pipeline(freqs=freqs, centerfreq=centerfreq,
+                        sample_rate=sample_rate,
+                        oversample=args.oversample,
+                        max_ppm=args.max_ppm, station_id=args.station_id)
+
+
+def run_iq_file(args: argparse.Namespace, decoder: FrameDecoder) -> int:
+    pipe = _make_pipeline(args)
+    fh = sys.stdin.buffer if args.iq_file == "-" else open(args.iq_file, "rb")
+    try:
+        for blk in iqfile.iq_blocks(fh, args.sample_format,
+                                    bufsize=args.block_size):
+            decoder.process_all(pipe.feed(blk))
+        decoder.process_all(pipe.finish())
+    finally:
+        if fh is not sys.stdin.buffer:
+            fh.close()
+    return 0
+
+
+def run_raw_frames(args: argparse.Namespace, decoder: FrameDecoder) -> int:
+    fh = sys.stdin.buffer if args.raw_frames_file == "-" \
+        else open(args.raw_frames_file, "rb")
+    try:
+        for decoded in rawframes.read_records(fh):
+            decoder.process(decoded)
+    finally:
+        if fh is not sys.stdin.buffer:
+            fh.close()
+    return 0
