@@ -28,7 +28,9 @@ from ..constants import (HEADER_LEN, MAG_LP, NF_LP, SPS, SYMBOL_RATE,
                          SYNC_THRESHOLD)
 from ..dsp import demod as demod_mod
 from ..dsp.chebyshev import fir_taps
-from ..dsp.frontend import mix_filter_decimate, nco_dphi
+from ..dsp.frontend import (mix_filter_decimate, nco_dphi, prepare_taps,
+                            to_planar)
+from .device import process_block
 from ..fec.scramble import descramble
 from ..utils.bits import symbols_to_bits_msb
 from .metadata import DecodedFrame, MsgMetadata
@@ -67,31 +69,31 @@ class VDL2Pipeline:
         self.max_candidates = int(max_candidates)
         self._demod_fn = demod_fn or demod_mod.find_and_slice
 
-        self.taps = fir_taps(sample_rate)
+        self.taps = prepare_taps(fir_taps(sample_rate), oversample)
         self.dphi = np.array([nco_dphi(centerfreq, f, sample_rate)
                               for f in freqs], dtype=np.uint32)
         C, T = len(freqs), self.taps.size
-        self.carry = np.zeros((C, T - 1), dtype=np.complex64)
+        self.carry = np.zeros((2, C, T - 1), dtype=np.float32)
         self.n0 = 0                                   # raw-sample NCO index
-        self.hist = np.zeros((C, 0), dtype=np.complex64)
+        self.hist = np.zeros((2, C, 0), dtype=np.float32)
         self.hist_base = 0        # global decimated index of hist[:, 0]
         self.channels = [ChannelState(freq=f) for f in freqs]
         self._ema_zi = np.zeros((C, 1))
         self._residual = np.zeros(0, dtype=np.complex64)
 
     # ------------------------------------------------------------- front end
-    def _channelize(self, iq: np.ndarray) -> np.ndarray:
+    def _channelize(self, iq: np.ndarray):
         dec, carry = mix_filter_decimate(
             iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
             self.carry, self.oversample)
         self.carry = carry
-        self.n0 = (self.n0 + iq.size) & 0xFFFFFF
-        return np.asarray(dec)
+        self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
+        return dec
 
     # ----------------------------------------------------------- noise floor
-    def _update_noise_floor(self, dec: np.ndarray) -> None:
+    def _update_noise_floor_pwr(self, pwr3: np.ndarray) -> None:
         """EMA magnitude tracker (demod.c:238-243), per fresh block."""
-        mags = np.abs(dec[:, ::3]).astype(np.float64)
+        mags = np.sqrt(pwr3.astype(np.float64))
         alpha = 1.0 - MAG_LP
         for c, ch in enumerate(self.channels):
             y, zi = scipy.signal.lfilter(
@@ -200,29 +202,33 @@ class VDL2Pipeline:
             iq = np.concatenate([self._residual, iq])
         usable = (iq.size // self.oversample) * self.oversample
         self._residual = iq[usable:]
-        iq = iq[:usable]
-        if iq.size == 0:
+        iq = to_planar(iq[:usable])
+        if iq.shape[1] == 0:
             return self.finish() if eof else []
 
-        dec = self._channelize(iq)
-        self._update_noise_floor(dec)
+        H = self.hist.shape[2]
+        cands, new_hist, new_carry, pwr3 = process_block(
+            iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
+            self.carry, self.hist, self.oversample, DEFAULT_HALO,
+            SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
+        self.carry = new_carry
+        self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
+        self._update_noise_floor_pwr(np.asarray(pwr3))
 
-        block = np.concatenate([self.hist, dec], axis=1)
         base = self.hist_base
-        cands = self._demod_fn(block, SYNC_THRESHOLD,
-                               self.max_candidates, MAX_BURST_SYMS)
         frames = self._process_candidates(cands, base, eof=False)
 
-        halo = min(DEFAULT_HALO, block.shape[1])
-        self.hist = block[:, block.shape[1] - halo:]
-        self.hist_base = base + block.shape[1] - halo
+        M_total = H + iq.shape[1] // self.oversample
+        keep = min(DEFAULT_HALO, M_total)
+        self.hist = new_hist
+        self.hist_base = base + M_total - keep
         if eof:
             frames.extend(self.finish())
         return frames
 
     def finish(self) -> list[DecodedFrame]:
         """Flush: resolve deferred candidates with the data we have."""
-        if self.hist.shape[1] == 0:
+        if self.hist.shape[2] == 0:
             return []
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)

@@ -93,67 +93,79 @@ def _parabola_vertex(y1: jax.Array, y2: jax.Array, y3: jax.Array) -> jax.Array:
     return jnp.where(safe, -b / (2.0 * jnp.where(safe, a, 1.0)), -1.0)
 
 
-@partial(jax.jit, static_argnames=("max_candidates", "max_symbols"))
-def find_and_slice(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
-                   max_candidates: int = 64, max_symbols: int = 5616
-                   ) -> Candidates:
+def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
+                        max_candidates: int = 64, max_symbols: int = 5616
+                        ) -> Candidates:
     """Locate sync points in a block and demodulate candidate bursts.
 
-    ``iq``: (C, M) complex64 decimated channel samples (history/halo
-    already prepended by the caller).
+    ``iq``: (2, C, M) float32 planar decimated channel samples
+    (history/halo already prepended by the caller).
     """
-    C, M = iq.shape
+    _, C, M = iq.shape
     K, S = max_candidates, max_symbols
-    phases = jnp.arctan2(iq.imag, iq.real)
+    re, im = iq[0], iq[1]
+    phases = jnp.arctan2(im, re)
     err, freq = sync_error_metric(phases)
 
     # Detection: the metric passed a below-threshold local minimum.
-    e0, e1, e2 = err, jnp.roll(err, 1, axis=1), jnp.roll(err, 2, axis=1)
+    e0, e1 = err, jnp.roll(err, 1, axis=1)
     mask = (e1 < threshold) & (e0 > e1)
     mask = mask.at[:, :_LOOKBACK + 2].set(False)
 
-    # First K detections per channel, in time order.
-    rank = jnp.cumsum(mask, axis=1) - 1                       # (C, M)
-    scatter_idx = jnp.where(mask, rank, K)
-    det_idx = jnp.full((C, K), -1, dtype=jnp.int32)
-    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (C, M))
-    det_idx = det_idx.at[jnp.arange(C)[:, None], scatter_idx].set(
-        pos, mode="drop")
+    # First K detections per channel, in time order: top-K of negated
+    # positions (scatter-free; top_k is fast on TPU).
+    pos = jnp.where(mask, jnp.arange(M, dtype=jnp.int32), M)
+    neg, _ = jax.lax.top_k(-pos, K)                           # (C, K)
+    det_sorted = -neg                                          # ascending
+    valid = det_sorted < M
+    det_idx = jnp.where(valid, det_sorted, -1)
     count = mask.sum(axis=1).astype(jnp.int32)
-    valid = det_idx >= 0
 
     def take(arr, idx):
         return jnp.take_along_axis(arr, jnp.maximum(idx, 0), axis=1)
 
-    y3 = take(e0, det_idx)
-    y2 = take(e1, det_idx)
-    y1 = take(e2, det_idx)
+    y3 = take(err, det_idx)
+    y2 = take(err, det_idx - 1)
+    y1 = take(err, det_idx - 2)
     vertex = _parabola_vertex(y1, y2, y3)
     sclk = jnp.round(-vertex).astype(jnp.int32)
     sync_idx = jnp.where(valid, det_idx - sclk, -1)
     dphi = take(freq, det_idx - 1)
     pherr = y2
 
-    # Batched symbol slicing: phases at sp + 10*j, j = 0..S
-    steps = jnp.arange(S + 1, dtype=jnp.int32) * SPS          # (S+1,)
-    gather = sync_idx[..., None] + steps[None, None, :]       # (C, K, S+1)
-    in_range = (gather >= 0) & (gather < M)
-    gidx = jnp.clip(gather, 0, M - 1)
-    sym_phase = jnp.take_along_axis(
-        phases[:, None, :], gidx.reshape(C, -1)[:, None, :], axis=2
-    ).reshape(C, K, S + 1)
+    # Batched symbol slicing: one contiguous dynamic slice per
+    # candidate (cheap DMA) then a static stride, instead of a huge
+    # elementwise gather.
+    W = S * SPS + 1
+    pwr = re * re + im * im
+    ph_pad = jnp.pad(phases, ((0, 0), (0, W)))
+    pw_pad = jnp.pad(pwr, ((0, 0), (0, W)))
+
+    def slice_one(ph_c: jax.Array, pw_c: jax.Array, sp: jax.Array):
+        start = jnp.clip(sp, 0, M)
+        w = jax.lax.dynamic_slice(ph_c, (start,), (W,))
+        p = jax.lax.dynamic_slice(pw_c, (start,), (W,))
+        return w[::SPS], p[::SPS]                             # (S+1,) each
+
+    sym_phase, power_all = jax.vmap(
+        jax.vmap(slice_one, in_axes=(None, None, 0)),
+        in_axes=(0, 0, 0))(ph_pad, pw_pad, sync_idx)          # (C, K, S+1)
+
     dp = sym_phase[..., 1:] - sym_phase[..., :-1] - dphi[..., None]
     dp = jnp.where(dp < 0, dp + 2 * jnp.pi, dp)
     dp = jnp.where(dp > 2 * jnp.pi, dp - 2 * jnp.pi, dp)
     idx = jnp.round(dp / (jnp.pi / 4)).astype(jnp.int32) % ARITY
     symbols = jnp.asarray(GRAYCODE, dtype=jnp.uint8)[idx]     # (C, K, S)
 
-    power = jnp.take_along_axis(
-        (iq.real ** 2 + iq.imag ** 2)[:, None, :],
-        gidx.reshape(C, -1)[:, None, :], axis=2
-    ).reshape(C, K, S + 1)[..., 1:]
-    sym_valid = jnp.where(
-        valid, jnp.sum(in_range[..., 1:], axis=-1).astype(jnp.int32), 0)
+    power = power_all[..., 1:]
+    # number of demodulable symbols: sp + SPS*j must stay inside M
+    nvalid = jnp.clip((M - 1 - sync_idx) // SPS, 0, S)
+    sym_valid = jnp.where(valid, nvalid.astype(jnp.int32), 0)
     return Candidates(count=count, det_idx=det_idx, sync_idx=sync_idx,
                       dphi=dphi, pherr=pherr, symbols=symbols,
                       sym_valid=sym_valid, power=power)
+
+
+find_and_slice = partial(jax.jit,
+                         static_argnames=("max_candidates", "max_symbols"))(
+    find_and_slice_impl)

@@ -7,6 +7,10 @@ fan-out), filtered with the Chebyshev-characteristic FIR
 (dsp/chebyshev.py) and decimated to SPS samples/symbol in one strided
 convolution that XLA maps onto the MXU.
 
+Complex samples are carried as planar float32 pairs (leading axis 2 =
+[re, im]) -- TPUs have no complex arithmetic type, and planar layout
+keeps the convolution a pure real op.
+
 The NCO phase accumulator is reproduced exactly: 24-bit fixed point,
 phi_n = (n * dphi) mod 2^24 with dphi = (centerfreq - freq)/rate * 2^24
 (demod.c:385), evaluated in closed form per sample index instead of
@@ -33,43 +37,81 @@ def dequantize_s16(raw: jax.Array) -> jax.Array:
     return raw.astype(jnp.float32) / 32768.0
 
 
-@partial(jax.jit, static_argnames=("oversample",))
-def mix_filter_decimate(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
-                        n0: jax.Array, carry: jax.Array, oversample: int
-                        ) -> tuple[jax.Array, jax.Array]:
-    """One front-end block for all channels.
+def to_planar(iq: np.ndarray) -> np.ndarray:
+    """Host complex array -> (2, N) float32 planar layout."""
+    return np.stack([iq.real, iq.imag]).astype(np.float32)
+
+
+def prepare_taps(taps: np.ndarray, oversample: int) -> np.ndarray:
+    """Zero-pad taps to a multiple of the decimation factor.
+
+    The polyphase convolution below folds the decimation phase into a
+    feature dimension of width ``oversample``, which requires the tap
+    count to tile evenly.  Trailing zeros only multiply samples older
+    than the true impulse response, so the output is unchanged.
+    """
+    pad = (-len(taps)) % oversample
+    return np.concatenate([np.asarray(taps, np.float32),
+                           np.zeros(pad, np.float32)])
+
+
+def mix_filter_decimate_impl(iq: jax.Array, taps: jax.Array,
+                             dphi: jax.Array, n0: jax.Array,
+                             carry: jax.Array, oversample: int
+                             ) -> tuple[jax.Array, jax.Array]:
+    """One front-end block for all channels (pure function, jit inside
+    callers).
 
     Args:
-      iq: (N,) complex64 wideband baseband block, N % oversample == 0.
-      taps: (T,) float32 FIR taps (Chebyshev impulse response).
+      iq: (2, N) float32 planar wideband block, N % oversample == 0.
+      taps: (T,) float32 FIR taps, T % oversample == 0 (prepare_taps).
       dphi: (C,) uint32 per-channel 24-bit NCO phase increments.
       n0: scalar uint32, global index of iq[0] modulo 2^24.
-      carry: (C, T-1) complex64 mixed-sample history from the previous
+      carry: (2, C, T-1) float32 mixed-sample history from the previous
         block (zeros at stream start).
     Returns:
-      (decimated (C, N // oversample) complex64, new_carry (C, T-1)).
+      (decimated (2, C, N // oversample) float32, new_carry).
     """
-    n = (n0 + jnp.arange(iq.shape[0], dtype=jnp.uint32))
+    N = iq.shape[1]
+    T = taps.shape[0]
+    os_ = oversample
+    n = (n0 + jnp.arange(N, dtype=jnp.uint32))
     phi = (n[None, :] * dphi[:, None]) & jnp.uint32(0xFFFFFF)
     angle = phi.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_24)
-    osc = jax.lax.complex(jnp.cos(angle), jnp.sin(angle))
-    mixed = iq[None, :] * osc                       # (C, N)
+    cosw, sinw = jnp.cos(angle), jnp.sin(angle)      # (C, N)
+    re, im = iq[0], iq[1]
+    # (re + j im) * (cos + j sin)
+    mixed = jnp.stack([re[None, :] * cosw - im[None, :] * sinw,
+                       im[None, :] * cosw + re[None, :] * sinw])  # (2, C, N)
 
-    z = jnp.concatenate([carry, mixed], axis=1)     # (C, N + T - 1)
-    new_carry = z[:, -(taps.shape[0] - 1):] if taps.shape[0] > 1 else z[:, :0]
+    z = jnp.concatenate([carry, mixed], axis=2)      # (2, C, N + T - 1)
+    new_carry = z[:, :, -(T - 1):] if T > 1 else z[:, :, :0]
 
-    # Strided correlation with reversed taps == convolution;
-    # offset oversample-1 keeps the reference's decimation phase
-    # (first output is filtered sample index oversample-1).
-    z = z[:, oversample - 1:]
-    kernel = taps[::-1][None, None, :]
-    def conv1d(x):
-        return jax.lax.conv_general_dilated(
-            x[:, None, :], kernel, window_strides=(oversample,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-    dec = jax.lax.complex(conv1d(z.real), conv1d(z.imag))
-    return dec.astype(jnp.complex64), new_carry.astype(jnp.complex64)
+    # Polyphase convolution: with the decimation offset applied
+    # (first output is filtered sample index oversample-1), output j is
+    #   y[j] = sum_t zs[os*j + t] * taps_rev[t],  t in [0, T)
+    # Splitting t = os*q + r turns the decimation phase r into a
+    # feature dimension of width `os` and the tap axis into a length
+    # T/os window — a conv with a (1, os, T/os) kernel whose
+    # os*(T/os)-wide contraction maps onto the MXU.
+    C2 = 2 * z.shape[1]
+    Q = T // os_
+    zs = z[:, :, os_ - 1:]
+    L = zs.shape[2]
+    I = L // os_                                     # frame count
+    frames = zs[:, :, :I * os_].reshape(C2, I, os_).transpose(0, 2, 1)
+    taps_rev = taps[::-1]
+    kernel = taps_rev.reshape(Q, os_).T[None]        # (1, os, Q)
+    dec = jax.lax.conv_general_dilated(
+        frames, kernel, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)[:, 0, :]  # (C2, I - Q + 1)
+    M = N // os_
+    return dec[:, :M].reshape(2, -1, M), new_carry
+
+
+mix_filter_decimate = partial(jax.jit, static_argnames=("oversample",))(
+    mix_filter_decimate_impl)
 
 
 def nco_dphi(centerfreq: float, freq: float, sample_rate: float) -> np.uint32:

@@ -37,9 +37,10 @@ def test_chebyshev_response_shape():
 
 
 def test_sync_and_slice_recovers_burst():
+    from dumpvdl2_tpu.dsp.frontend import to_planar
     frames = [b"hello VDL2 world, this is a test frame!"]
     iq = sim.synthesize_iq(frames, snr_db=30.0, freq_offset_hz=200.0, seed=3)
-    c = find_and_slice(iq[None, :], 4.0, 8, 1024)
+    c = find_and_slice(to_planar(iq)[:, None, :], 4.0, 8, 1024)
     assert int(np.asarray(c.count)[0]) >= 1
     syms = np.asarray(c.symbols)[0, 0]
     tx_bits = sim.build_burst_bits(frames)
