@@ -94,12 +94,17 @@ def _parabola_vertex(y1: jax.Array, y2: jax.Array, y3: jax.Array) -> jax.Array:
 
 
 def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
-                        max_candidates: int = 64, max_symbols: int = 5616
+                        max_candidates: int = 64, max_symbols: int = 5616,
+                        detect_lo: int = 0, detect_hi: int | None = None
                         ) -> Candidates:
     """Locate sync points in a block and demodulate candidate bursts.
 
     ``iq``: (2, C, M) float32 planar decimated channel samples
     (history/halo already prepended by the caller).
+
+    ``detect_lo``/``detect_hi`` restrict where *detections* may fire
+    (slicing still uses the whole array) — used by the sharded pipeline
+    to prevent duplicate detections in exchanged halo regions.
     """
     _, C, M = iq.shape
     K, S = max_candidates, max_symbols
@@ -110,7 +115,9 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
     # Detection: the metric passed a below-threshold local minimum.
     e0, e1 = err, jnp.roll(err, 1, axis=1)
     mask = (e1 < threshold) & (e0 > e1)
-    mask = mask.at[:, :_LOOKBACK + 2].set(False)
+    mask = mask.at[:, :max(_LOOKBACK + 2, detect_lo)].set(False)
+    if detect_hi is not None and detect_hi < M:
+        mask = mask.at[:, detect_hi:].set(False)
 
     # First K detections per channel, in time order: top-K of negated
     # positions (scatter-free; top_k is fast on TPU).
@@ -167,5 +174,6 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
 
 
 find_and_slice = partial(jax.jit,
-                         static_argnames=("max_candidates", "max_symbols"))(
+                         static_argnames=("max_candidates", "max_symbols",
+                                          "detect_lo", "detect_hi"))(
     find_and_slice_impl)

@@ -55,6 +55,24 @@ def prepare_taps(taps: np.ndarray, oversample: int) -> np.ndarray:
                            np.zeros(pad, np.float32)])
 
 
+def mix_nco(iq: jax.Array, dphi: jax.Array, n0: jax.Array) -> jax.Array:
+    """24-bit fixed-point NCO downmix (demod.c:312-317,385).
+
+    ``iq``: (2, N) planar wideband samples whose first sample has
+    global index ``n0`` (uint32, wraps mod 2^24); ``dphi``: (C,) uint32
+    per-channel phase increments.  Returns (2, C, N) mixed samples.
+    """
+    N = iq.shape[1]
+    n = (n0 + jnp.arange(N, dtype=jnp.uint32))
+    phi = (n[None, :] * dphi[:, None]) & jnp.uint32(0xFFFFFF)
+    angle = phi.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_24)
+    cosw, sinw = jnp.cos(angle), jnp.sin(angle)      # (C, N)
+    re, im = iq[0], iq[1]
+    # (re + j im) * (cos + j sin)
+    return jnp.stack([re[None, :] * cosw - im[None, :] * sinw,
+                      im[None, :] * cosw + re[None, :] * sinw])
+
+
 def mix_filter_decimate_impl(iq: jax.Array, taps: jax.Array,
                              dphi: jax.Array, n0: jax.Array,
                              carry: jax.Array, oversample: int
@@ -75,14 +93,7 @@ def mix_filter_decimate_impl(iq: jax.Array, taps: jax.Array,
     N = iq.shape[1]
     T = taps.shape[0]
     os_ = oversample
-    n = (n0 + jnp.arange(N, dtype=jnp.uint32))
-    phi = (n[None, :] * dphi[:, None]) & jnp.uint32(0xFFFFFF)
-    angle = phi.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_24)
-    cosw, sinw = jnp.cos(angle), jnp.sin(angle)      # (C, N)
-    re, im = iq[0], iq[1]
-    # (re + j im) * (cos + j sin)
-    mixed = jnp.stack([re[None, :] * cosw - im[None, :] * sinw,
-                       im[None, :] * cosw + re[None, :] * sinw])  # (2, C, N)
+    mixed = mix_nco(iq, dphi, n0)                    # (2, C, N)
 
     z = jnp.concatenate([carry, mixed], axis=2)      # (2, C, N + T - 1)
     new_carry = z[:, :, -(T - 1):] if T > 1 else z[:, :, :0]
