@@ -39,7 +39,7 @@ def main() -> None:
     N = 1 << 21                    # ~1 s of 2.1 Msps ingest per block
     rng = np.random.default_rng(0)
     iq = jnp.asarray(rng.standard_normal((2, N)).astype(np.float32) * 0.05)
-    carry = jnp.zeros((2, C, taps.size - 1), jnp.float32)
+    carry = jnp.zeros((2, taps.size - 1), jnp.float32)
     hist = jnp.zeros((2, C, halo), jnp.float32)
 
     def run():

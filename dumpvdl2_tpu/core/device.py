@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..constants import SYNC_THRESHOLD
 from ..dsp.demod import Candidates, find_and_slice_impl
-from ..dsp.frontend import mix_filter_decimate_impl
+from ..dsp.frontend import bandpass_channelize_impl
 
 
 @partial(jax.jit, static_argnames=("oversample", "halo", "max_candidates",
@@ -29,7 +29,8 @@ def process_block(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
 
     Args:
       iq: (2, N) planar wideband block.
-      taps/dphi/n0/carry: as in mix_filter_decimate_impl.
+      taps/dphi/n0: as in bandpass_channelize_impl.
+      carry: (2, T-1) RAW wideband tail of the previous block.
       hist: (2, C, H) decimated halo from the previous block.
       halo: static halo length to keep for the next block.
     Returns:
@@ -37,7 +38,7 @@ def process_block(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
       of every 3rd fresh decimated sample (C, ceil(M/3)) for the
       noise-floor tracker.
     """
-    dec, new_carry = mix_filter_decimate_impl(
+    dec, new_carry = bandpass_channelize_impl(
         iq, taps, dphi, n0, carry, oversample)
     block = jnp.concatenate([hist, dec], axis=2)
     cands = find_and_slice_impl(block, threshold, max_candidates,

@@ -28,7 +28,7 @@ from ..constants import (HEADER_LEN, MAG_LP, NF_LP, SPS, SYMBOL_RATE,
                          SYNC_THRESHOLD)
 from ..dsp import demod as demod_mod
 from ..dsp.chebyshev import fir_taps
-from ..dsp.frontend import (mix_filter_decimate, nco_dphi, prepare_taps,
+from ..dsp.frontend import (bandpass_channelize, nco_dphi, prepare_taps,
                             to_planar)
 from .device import process_block
 from ..fec.scramble import descramble
@@ -73,7 +73,7 @@ class VDL2Pipeline:
         self.dphi = np.array([nco_dphi(centerfreq, f, sample_rate)
                               for f in freqs], dtype=np.uint32)
         C, T = len(freqs), self.taps.size
-        self.carry = np.zeros((2, C, T - 1), dtype=np.float32)
+        self.carry = np.zeros((2, T - 1), dtype=np.float32)
         self.n0 = 0                                   # raw-sample NCO index
         self.hist = np.zeros((2, C, 0), dtype=np.float32)
         self.hist_base = 0        # global decimated index of hist[:, 0]
@@ -83,7 +83,7 @@ class VDL2Pipeline:
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
-        dec, carry = mix_filter_decimate(
+        dec, carry = bandpass_channelize(
             iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
             self.carry, self.oversample)
         self.carry = carry

@@ -85,6 +85,22 @@ def sync_error_metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
                             axis=1))
 
 
+def _metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Backend dispatch: fused Pallas kernel on TPU, XLA elsewhere.
+
+    The Pallas kernel (dsp/sync_pallas.py) computes the identical
+    metric with one VMEM pass instead of a 16-deep HBM stack; the XLA
+    path remains the executable spec (and the CPU/simulated-mesh
+    path).  Set DUMPVDL2_TPU_PALLAS=0 to force the XLA path on TPU.
+    """
+    import os
+    if os.environ.get("DUMPVDL2_TPU_PALLAS", "auto") != "0" \
+            and jax.default_backend() == "tpu":
+        from .sync_pallas import sync_error_metric_pallas
+        return sync_error_metric_pallas(phases)
+    return sync_error_metric(phases)
+
+
 def _parabola_vertex(y1: jax.Array, y2: jax.Array, y3: jax.Array) -> jax.Array:
     """Vertex x of the parabola through (-2,y1), (-1,y2), (0,y3)."""
     a = (y1 - 2.0 * y2 + y3) / 2.0
@@ -110,7 +126,7 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
     K, S = max_candidates, max_symbols
     re, im = iq[0], iq[1]
     phases = jnp.arctan2(im, re)
-    err, freq = sync_error_metric(phases)
+    err, freq = _metric(phases)
 
     # Detection: the metric passed a below-threshold local minimum.
     e0, e1 = err, jnp.roll(err, 1, axis=1)

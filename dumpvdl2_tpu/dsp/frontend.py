@@ -125,6 +125,84 @@ mix_filter_decimate = partial(jax.jit, static_argnames=("oversample",))(
     mix_filter_decimate_impl)
 
 
+def bandpass_channelize_impl(iq: jax.Array, taps: jax.Array,
+                             dphi: jax.Array, n0: jax.Array,
+                             raw_carry: jax.Array, oversample: int
+                             ) -> tuple[jax.Array, jax.Array]:
+    """Mix-after-decimate front end: NCO folded into band-pass taps.
+
+    Mathematically identical to :func:`mix_filter_decimate_impl` (up to
+    f32 rounding) but an order of magnitude lighter on HBM: instead of
+    materializing per-channel mixed samples (2, C, N), the conv reads
+    the SHARED wideband block once for all channels with per-channel
+    complex band-pass taps ``h_c[u] = taps[u] * e^{j phi_c(u)}``, and
+    the channel mix becomes a residual rotation at the 1/oversample
+    decimated rate.  Exactness: the reference's 24-bit fixed-point NCO
+    phase (demod.c:385) is linear modulo 2^24, so
+    ``phi(n - u) == phi(n) - phi(u) (mod 2pi)`` holds bit-for-bit in
+    the phase accumulator.
+
+    Args:
+      iq: (2, N) float32 planar wideband block, N % oversample == 0.
+      taps: (T,) float32 FIR taps, T % oversample == 0.
+      dphi: (C,) uint32 per-channel 24-bit NCO phase increments.
+      n0: scalar uint32, global index of iq[0] modulo 2^24.
+      raw_carry: (2, T-1) float32 RAW wideband tail of the previous
+        block (channel-independent — C-fold smaller than the mixed
+        carry of mix_filter_decimate_impl).
+    Returns:
+      (decimated (2, C, N // oversample) float32, new_raw_carry).
+    """
+    N = iq.shape[1]
+    T = taps.shape[0]
+    os_ = oversample
+    C = dphi.shape[0]
+    M = N // os_
+
+    # Complex band-pass taps (C, T): phase at tap index u is the exact
+    # fixed-point accumulator value for sample offset u.  mix_nco
+    # multiplies by e^{+j phi(n)}, so the taps carry the conjugate
+    # e^{-j phi(u)} and the residual rotation is e^{+j phi(G_j)}.
+    u = jnp.arange(T, dtype=jnp.uint32)
+    phi_t = (u[None, :] * dphi[:, None]) & jnp.uint32(0xFFFFFF)
+    ang_t = phi_t.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_24)
+    cr = taps[None, :] * jnp.cos(ang_t)              # (C, T)
+    ci = -taps[None, :] * jnp.sin(ang_t)
+    cr_rev, ci_rev = cr[:, ::-1], ci[:, ::-1]
+
+    # Kernel (out_features=2C, in_features=2, T) for the complex
+    # correlation w = x * conj-free product (x_re + j x_im)(cr + j ci):
+    #   w_re = x_re*cr - x_im*ci ;  w_im = x_re*ci + x_im*cr
+    kernel = jnp.stack([jnp.stack([cr_rev, -ci_rev], axis=1),
+                        jnp.stack([ci_rev, cr_rev], axis=1)], axis=0)
+    kernel = kernel.reshape(2 * C, 2, T)             # (plane-major: re*C, im*C)
+
+    xe = jnp.concatenate([raw_carry, iq], axis=1)    # (2, N + T - 1)
+    new_carry = iq[:, N - (T - 1):] if T > 1 else iq[:, :0]
+    # First output taps window starts at xe index os-1 (the decimation
+    # phase offset used by mix_filter_decimate_impl).
+    w = jax.lax.conv_general_dilated(
+        xe[None, :, os_ - 1:], kernel, window_strides=(os_,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)[0]       # (2C, M)
+    wr = w[:C]
+    wi = w[C:]
+
+    # Residual rotation e^{+j phi(G_j)} at the decimated rate, with
+    # G_j = n0 + os*(j+1) - 1 the global raw index of output j.
+    g = n0 + (jnp.arange(M, dtype=jnp.uint32) + 1) * jnp.uint32(os_) \
+        - jnp.uint32(1)
+    phi_g = (g[None, :] * dphi[:, None]) & jnp.uint32(0xFFFFFF)
+    ang_g = phi_g.astype(jnp.float32) * jnp.float32(_TWO_PI_OVER_2_24)
+    cg, sg = jnp.cos(ang_g), jnp.sin(ang_g)          # (C, M)
+    dec = jnp.stack([wr * cg - wi * sg, wi * cg + wr * sg])
+    return dec, new_carry
+
+
+bandpass_channelize = partial(jax.jit, static_argnames=("oversample",))(
+    bandpass_channelize_impl)
+
+
 def nco_dphi(centerfreq: float, freq: float, sample_rate: float) -> np.uint32:
     """24-bit fixed-point NCO increment, matching demod.c:385."""
     return np.uint32(np.int64(int((float(centerfreq) - float(freq))

@@ -15,9 +15,9 @@ topology (dumpvdl2.c:117-135, demod.c:288-337) as SPMD over a 2-D mesh:
   3. dec head   (2, Cl, F)      shard t -> t-1   forward burst window
 
   Exchange 1 sends *raw* (pre-mix) samples — C-fold less ICI traffic
-  than mixed carry; the receiver re-mixes them locally with the NCO
-  phases of its own index range (the NCO is a pure function of the
-  global sample index, so this is exact).
+  than mixed carry; the band-pass channelizer consumes raw history
+  directly (the NCO is a pure function of the global sample index and
+  is folded into the taps, so this is exact).
 
 The wrap-around leg of each shift+1 ppermute is not waste: shard 0
 receives shard Tn-1's tail, which is exactly the carried state the
@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import SYNC_THRESHOLD
 from ..dsp.demod import Candidates, find_and_slice_impl
-from ..dsp.frontend import mix_filter_decimate_impl, mix_nco
+from ..dsp.frontend import bandpass_channelize_impl
 from .mesh import CHANNEL_AXIS, TIME_AXIS
 
 # Sync metric lookback is 150 decimated samples + 2 for the minimum
@@ -78,11 +78,9 @@ def _block_shard(iq_local: jax.Array, taps: jax.Array,
     own_tail = iq_local[:, Nl - (T - 1):]
     recv_tail = _shift(own_tail, TIME_AXIS, +1, Tn)
     prefix = jnp.where(t == 0, state.raw_tail, recv_tail)
-    carry = mix_nco(prefix, dphi_local,
-                    n0_local - jnp.uint32(T - 1))     # (2, Cl, T-1)
 
-    dec, _ = mix_filter_decimate_impl(
-        iq_local, taps, dphi_local, n0_local, carry, oversample)
+    dec, _ = bandpass_channelize_impl(
+        iq_local, taps, dphi_local, n0_local, prefix, oversample)
 
     # -- exchanges 2+3: decimated halos -------------------------------
     own_dtail = dec[:, :, Ml - H:]

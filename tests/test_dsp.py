@@ -109,3 +109,59 @@ def test_golden_capture(reference_wav):
     for f in frames:
         assert f.metadata.synd_weight == 0
         assert f.metadata.num_fec_corrections == 0
+
+
+def test_bandpass_channelizer_matches_mix_filter_decimate():
+    """The complex-taps (mix-after-decimate) front end is numerically
+    identical to the direct NCO-mix formulation (frontend.py docstring
+    derivation; reference NCO demod.c:312-317,385)."""
+    import jax.numpy as jnp
+
+    from dumpvdl2_tpu.dsp.frontend import (bandpass_channelize_impl,
+                                           mix_filter_decimate_impl, mix_nco,
+                                           nco_dphi, prepare_taps)
+
+    for os_, fs in ((10, 1.05e6), (20, 2.1e6)):
+        taps = jnp.asarray(prepare_taps(fir_taps(fs), os_))
+        T = int(taps.shape[0])
+        center = 136.975e6
+        dphi = jnp.asarray(np.array(
+            [nco_dphi(center, center - 25e3 * i, fs) for i in range(3)],
+            np.uint32))
+        rng = np.random.default_rng(1)
+        N = 200 * os_
+        iq = jnp.asarray(rng.standard_normal((2, N)).astype(np.float32))
+        raw_prev = jnp.asarray(
+            rng.standard_normal((2, T - 1)).astype(np.float32))
+        n0 = np.uint32(12345)
+        carry = mix_nco(raw_prev, dphi,
+                        jnp.uint32((int(n0) - (T - 1)) & 0xFFFFFFFF))
+        dec_old, _ = mix_filter_decimate_impl(
+            iq, taps, dphi, jnp.uint32(n0), carry, os_)
+        dec_new, new_carry = bandpass_channelize_impl(
+            iq, taps, dphi, jnp.uint32(n0), raw_prev, os_)
+        np.testing.assert_allclose(np.asarray(dec_new), np.asarray(dec_old),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(new_carry),
+                                      np.asarray(iq[:, N - (T - 1):]))
+
+
+def test_sync_metric_pallas_matches_xla():
+    """Fused Pallas sync kernel == XLA reference (interpret mode)."""
+    import jax.numpy as jnp
+
+    from dumpvdl2_tpu.dsp.demod import sync_error_metric
+    from dumpvdl2_tpu.dsp.sync_pallas import (LOOKBACK,
+                                              sync_error_metric_pallas)
+
+    rng = np.random.default_rng(2)
+    for C, M in ((3, 5000), (1, 400), (9, 2048)):
+        ph = jnp.asarray(rng.uniform(-np.pi, np.pi, (C, M)).astype(np.float32))
+        e0, f0 = sync_error_metric(ph)
+        e1, f1 = sync_error_metric_pallas(ph, interpret=True)
+        e0, f0, e1, f1 = map(np.asarray, (e0, f0, e1, f1))
+        np.testing.assert_allclose(e1[:, LOOKBACK:], e0[:, LOOKBACK:],
+                                   atol=1e-3)
+        np.testing.assert_allclose(f1[:, LOOKBACK:], f0[:, LOOKBACK:],
+                                   atol=1e-4)
+        assert np.all(np.isinf(e1[:, :LOOKBACK]))

@@ -61,7 +61,7 @@ def test_sharded_matches_single_device(cs, ts):
     iq = _setup(N, freqs)
 
     # --- single-device reference ---
-    carry = np.zeros((2, C, taps.size - 1), np.float32)
+    carry = np.zeros((2, taps.size - 1), np.float32)
     hist = np.zeros((2, C, BACK_HALO), np.float32)
     ref_cands, _, _, ref_pwr3 = process_block(
         iq, taps, dphi, np.uint32(0), carry, hist, OS, BACK_HALO,
