@@ -73,6 +73,79 @@ def header_info(header_bits: np.ndarray) -> BurstResult:
     return res
 
 
+def decode_bursts_device(symbols: np.ndarray, max_symbols: int
+                         ) -> list[BurstResult]:
+    """Batched burst decode on the accelerator (fec/l2_tpu.py).
+
+    ``symbols``: (B, S) uint8 gray-decoded symbols, one row per
+    candidate burst.  Descramble, header FEC, deinterleave and RS run
+    as ONE device computation for the whole batch; only HDLC unstuff +
+    framing happen here per burst.  Result list matches what
+    ``decode_burst`` returns for each row's bit expansion.
+    """
+    from .fec.l2_tpu import l2_decode_batch
+
+    symbols = np.asarray(symbols, dtype=np.uint8)
+    out = jax_tree_to_numpy(l2_decode_batch(symbols, max_symbols))
+    results: list[BurstResult] = []
+    for i in range(symbols.shape[0]):
+        results.append(_result_from_batch(out, i))
+    return results
+
+
+def jax_tree_to_numpy(tree: dict) -> dict:
+    return {k: np.asarray(v) for k, v in tree.items()}
+
+
+def _result_from_batch(out: dict, i: int) -> BurstResult:
+    """Assemble one BurstResult from l2_decode_batch output row ``i``."""
+    res = BurstResult(ok=False, syndrome=int(out["syndrome"][i]),
+                      synd_weight=int(out["synd_weight"][i]))
+    if out["reserved_bad"][i]:
+        res.reason = "hdr_reserved_bits"
+        return res
+    res.datalen = int(out["datalen"][i])
+    if out["too_long"][i]:
+        res.reason = "too_long"
+        return res
+    res.datalen_octets = int(out["datalen_octets"][i])
+    if out["no_fec"][i]:
+        res.reason = "no_fec"
+        return res
+    res.bits_consumed = int(out["bits_consumed"][i])
+
+    num_blocks = int(out["num_blocks"][i])
+    last_len = int(out["last_len"][i])
+    counts = out["counts"][i]
+    fec_row = out["fec_row"][i]
+    rows = []
+    for r in range(num_blocks):
+        if counts[r] < 0:
+            res.reason = "fec_bad"
+            return res
+        if counts[r] > 0:
+            res.num_fec_corrections += int(counts[r]) \
+                - (RS_N - RS_K - int(fec_row[r]))
+        rows.append(out["blocks"][i, r,
+                                  :RS_K if r != num_blocks - 1 else last_len])
+
+    data_bits = np.unpackbits(np.concatenate(rows).astype(np.uint8),
+                              bitorder="little")[:res.datalen]
+    try:
+        for frame_bits in frames_from_bits(data_bits):
+            if frame_bits.size % 8 != 0:
+                res.reason = "truncated_octets"
+                return res
+            if frame_bits.size == 0:
+                continue
+            res.frames.append(pack_lsb(frame_bits))
+    except UnstuffError:
+        res.reason = "unstuff"
+        return res
+    res.ok = True
+    return res
+
+
 def decode_burst(bits: np.ndarray) -> BurstResult:
     """Decode a full burst from its raw (scrambled) demodulated bits.
 

@@ -23,7 +23,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import scipy.signal
 
-from ..burst import BurstResult, decode_burst, header_info
+from ..burst import (BurstResult, decode_burst, header_info,
+                     jax_tree_to_numpy, _result_from_batch)
 from ..constants import (HEADER_LEN, MAG_LP, NF_LP, SPS, SYMBOL_RATE,
                          SYNC_THRESHOLD)
 from ..dsp import demod as demod_mod
@@ -39,6 +40,28 @@ from .metadata import DecodedFrame, MsgMetadata
 # burst geometry in fec/interleave.py: 16825 bits -> 5609 symbols.
 MAX_BURST_SYMS = 5616
 DEFAULT_HALO = MAX_BURST_SYMS * SPS + 256
+
+# Burst-header failure reasons (decided by header FEC alone, before any
+# payload processing) — used to split batch decode results back into the
+# reference's header/payload error funnels.
+_HEADER_REASONS = frozenset({"hdr_reserved_bits", "too_long", "no_fec"})
+
+
+def _resolve_device_l2() -> bool:
+    """Decide ONCE whether L2 burst decode runs batched on the device.
+
+    Default 'auto' enables it on TPU (where the MXU RS decoder wins);
+    DUMPVDL2_TPU_L2=1 forces it on any backend (used by the CPU parity
+    tests), =0 forces the scalar host path.
+    """
+    import os
+    import jax
+    v = os.environ.get("DUMPVDL2_TPU_L2", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 @dataclass
@@ -80,6 +103,22 @@ class VDL2Pipeline:
         self.channels = [ChannelState(freq=f) for f in freqs]
         self._ema_zi = np.zeros((C, 1))
         self._residual = np.zeros(0, dtype=np.complex64)
+        self.use_device_l2 = _resolve_device_l2()
+
+    def _launch_l2(self, cands):
+        """Dispatch the batched device L2 decode for a candidate set.
+
+        Called with ``cands.symbols`` still a device array so no host
+        round-trip happens; returns the lazy result dict (fetched in
+        _process_candidates only if any candidate survives gating).
+        """
+        if not self.use_device_l2:
+            return None
+        from ..fec.l2_tpu import l2_decode_batch
+        import jax.numpy as jnp
+        syms = jnp.reshape(jnp.asarray(cands.symbols),
+                           (-1, MAX_BURST_SYMS))
+        return l2_decode_batch(syms, MAX_BURST_SYMS)
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
@@ -112,9 +151,17 @@ class VDL2Pipeline:
             ch.nfcnt = k % 1000
 
     # ------------------------------------------------------------- candidates
-    def _process_candidates(self, cands, base: int, eof: bool
-                            ) -> list[DecodedFrame]:
+    def _process_candidates(self, cands, base: int, eof: bool,
+                            l2=None) -> list[DecodedFrame]:
         out: list[DecodedFrame] = []
+        l2_np: dict | None = None
+
+        def l2_result(c: int, k: int) -> BurstResult:
+            nonlocal l2_np
+            if l2_np is None:
+                l2_np = jax_tree_to_numpy(l2)
+            return _result_from_batch(l2_np, c * self.max_candidates + k)
+
         count = np.asarray(cands.count)
         det_idx = np.asarray(cands.det_idx)
         sync_idx = np.asarray(cands.sync_idx)
@@ -141,14 +188,24 @@ class VDL2Pipeline:
                     break
                 ch.bump("demod.sync.good")
                 syms = symbols[c, k]
-                hdr_bits = symbols_to_bits_msb(syms[:9])[:HEADER_LEN]
-                hdr = header_info(descramble(hdr_bits))
-                if not hdr.ok:
-                    ch.bump("decoder.errors." + hdr.reason)
+                full: BurstResult | None = None
+                if l2 is not None:
+                    full = l2_result(c, k)
+                    hdr_ok = full.ok or full.reason not in _HEADER_REASONS
+                    hdr_reason = full.reason
+                    hdr_bits_consumed = full.bits_consumed
+                else:
+                    hdr_bits = symbols_to_bits_msb(syms[:9])[:HEADER_LEN]
+                    hdr = header_info(descramble(hdr_bits))
+                    hdr_ok = hdr.ok
+                    hdr_reason = hdr.reason
+                    hdr_bits_consumed = hdr.bits_consumed
+                if not hdr_ok:
+                    ch.bump("decoder.errors." + hdr_reason)
                     ch.busy_until = sp_g + 9 * SPS
                     ch.next_det_min = det_g + 1
                     continue
-                total_syms = -(-hdr.bits_consumed // 3)
+                total_syms = -(-hdr_bits_consumed // 3)
                 if nsyms_avail < total_syms:
                     if not eof:
                         ch.next_det_min = det_g
@@ -161,9 +218,12 @@ class VDL2Pipeline:
                 if self.max_ppm and abs(ppm) > self.max_ppm:
                     ch.next_det_min = det_g + 1
                     continue
-                bits = symbols_to_bits_msb(
-                    syms[:total_syms])[:hdr.bits_consumed]
-                res = decode_burst(bits)
+                if full is not None:
+                    res = full
+                else:
+                    bits = symbols_to_bits_msb(
+                        syms[:total_syms])[:hdr_bits_consumed]
+                    res = decode_burst(bits)
                 ch.busy_until = sp_g + total_syms * SPS
                 ch.next_det_min = det_g + 1
                 frame_pwr = float(power[c, k, :total_syms].mean())
@@ -213,10 +273,11 @@ class VDL2Pipeline:
             SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
         self.carry = new_carry
         self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
+        l2 = self._launch_l2(cands)
         self._update_noise_floor_pwr(np.asarray(pwr3))
 
         base = self.hist_base
-        frames = self._process_candidates(cands, base, eof=False)
+        frames = self._process_candidates(cands, base, eof=False, l2=l2)
 
         M_total = H + iq.shape[1] // self.oversample
         keep = min(DEFAULT_HALO, M_total)
@@ -232,4 +293,5 @@ class VDL2Pipeline:
             return []
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
-        return self._process_candidates(cands, self.hist_base, eof=True)
+        return self._process_candidates(cands, self.hist_base, eof=True,
+                                        l2=self._launch_l2(cands))

@@ -85,6 +85,23 @@ def sync_error_metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
                             axis=1))
 
 
+def _resolve_pallas_dispatch() -> bool:
+    """Decide ONCE whether the Pallas sync kernel is used.
+
+    Resolved lazily on first trace and cached, so the jit cache can
+    never hold a stale decision; DUMPVDL2_TPU_PALLAS=0 must be set
+    before the first pipeline trace to take effect (documented in
+    README).  The kernel only runs when the default backend is TPU —
+    on CPU/GPU the XLA metric is the executable spec.
+    """
+    import os
+    return (os.environ.get("DUMPVDL2_TPU_PALLAS", "auto") != "0"
+            and jax.default_backend() == "tpu")
+
+
+_USE_PALLAS: bool | None = None
+
+
 def _metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Backend dispatch: fused Pallas kernel on TPU, XLA elsewhere.
 
@@ -93,9 +110,10 @@ def _metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
     path remains the executable spec (and the CPU/simulated-mesh
     path).  Set DUMPVDL2_TPU_PALLAS=0 to force the XLA path on TPU.
     """
-    import os
-    if os.environ.get("DUMPVDL2_TPU_PALLAS", "auto") != "0" \
-            and jax.default_backend() == "tpu":
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = _resolve_pallas_dispatch()
+    if _USE_PALLAS:
         from .sync_pallas import sync_error_metric_pallas
         return sync_error_metric_pallas(phases)
     return sync_error_metric(phases)

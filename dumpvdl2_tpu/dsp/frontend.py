@@ -178,7 +178,9 @@ def bandpass_channelize_impl(iq: jax.Array, taps: jax.Array,
     kernel = kernel.reshape(2 * C, 2, T)             # (plane-major: re*C, im*C)
 
     xe = jnp.concatenate([raw_carry, iq], axis=1)    # (2, N + T - 1)
-    new_carry = iq[:, N - (T - 1):] if T > 1 else iq[:, :0]
+    # Tail drawn from carry||block so a short block (N < T-1) still
+    # produces a correct full-width carry.
+    new_carry = xe[:, xe.shape[1] - (T - 1):] if T > 1 else iq[:, :0]
     # First output taps window starts at xe index os-1 (the decimation
     # phase offset used by mix_filter_decimate_impl).
     w = jax.lax.conv_general_dilated(

@@ -35,7 +35,10 @@ _LR_DENOM = float((_LR_X ** 2).sum())
 LOOKBACK = (PREAMBLE_SYMS - 1) * SPS        # 150 decimated samples
 
 _TILE = 2048                                # output lanes per grid step
-_HALO = 160                                 # >= LOOKBACK, lane-friendly
+# Window width per grid step is _TILE + _HALO; Mosaic requires the
+# lane extent of a manual-DMA slice to be a multiple of 128, so the
+# halo must keep 2048 + _HALO % 128 == 0 (2048+256 = 2304 = 18*128).
+_HALO = 256                                 # >= LOOKBACK, 128-aligned window
 _TWO_PI = float(2.0 * np.pi)
 
 

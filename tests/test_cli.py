@@ -9,19 +9,27 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(args, timeout=600):
+def run_cli(args, timeout=600, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "dumpvdl2_tpu", "--platform", "cpu"] + args,
         capture_output=True, timeout=timeout, env=env, cwd=REPO)
 
 
 @pytest.mark.golden
-def test_cli_reference_ci_criterion(reference_wav):
-    """The upstream CI test verbatim (build.yml:15-17,62-66)."""
+@pytest.mark.parametrize("l2", ["0", "1"])
+def test_cli_reference_ci_criterion(reference_wav, l2):
+    """The upstream CI test verbatim (build.yml:15-17,62-66).
+
+    Runs with both L2 decoders: the scalar host path and the batched
+    device path (DUMPVDL2_TPU_L2=1 forces it on the CPU backend).
+    """
     r = run_cli(["--iq-file", str(reference_wav),
-                 "--sample-format", "S16_LE", "--extended-header"])
+                 "--sample-format", "S16_LE", "--extended-header"],
+                extra_env={"DUMPVDL2_TPU_L2": l2})
     assert r.returncode == 0, r.stderr.decode()
     text = r.stdout.decode()
     pat = re.compile("20 2d 52 41 20 42 52 20 4f 56 43 30 30 35 0a"
