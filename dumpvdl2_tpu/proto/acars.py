@@ -60,6 +60,7 @@ class AcarsNode(ProtoNode):
         self.sublabel = ""
         self.mfi = ""
         self.txt = ""
+        self.txt_raw = b""          # unmasked 8-bit body (ATS units)
         self.reasm_status = ReasmStatus.UNKNOWN
         self.msg_dir = MSG_DIR_UNKNOWN
         self.raw = b""
@@ -88,7 +89,7 @@ class AcarsNode(ProtoNode):
             out.iline(indent, f"MFI: {self.mfi}")
         if self.txt:
             out.iline(indent, "Message:")
-            for line in self.txt.split("\n"):
+            for line in _maybe_prettify(self.txt).split("\n"):
                 out.iline(indent + 1, line)
 
     def format_json(self, obj: JsonObj) -> None:
@@ -116,6 +117,37 @@ class AcarsNode(ProtoNode):
 
 def _printable(raw: bytes) -> str:
     return "".join(chr(b & 0x7F) for b in raw)
+
+
+def _maybe_prettify(txt: str) -> str:
+    """Re-indent XML / JSON message bodies when the --prettify-xml /
+    --prettify-json flags are set (reference README.md:805: libacars
+    applies the same treatment to ACARS and MIAM CORE text payloads).
+    Returns the text unchanged unless it parses cleanly."""
+    from ..config import Config
+    if Config.prettify_xml and "<" in txt:
+        start = txt.find("<")
+        try:
+            import xml.dom.minidom as minidom
+            doc = minidom.parseString(txt[start:])
+            pretty = doc.toprettyxml(indent="  ")
+            # drop the XML declaration minidom adds and blank lines
+            lines = [ln for ln in pretty.split("\n")
+                     if ln.strip() and not ln.startswith("<?xml")]
+            return txt[:start] + "\n".join(lines)
+        except Exception:
+            pass
+    if Config.prettify_json and ("{" in txt or "[" in txt):
+        import json as _json
+        start = min((i for i in (txt.find("{"), txt.find("["))
+                     if i >= 0), default=-1)
+        if start >= 0:
+            try:
+                doc = _json.loads(txt[start:])
+                return txt[:start] + _json.dumps(doc, indent=2)
+            except Exception:
+                pass
+    return txt
 
 
 def acars_parse(buf: bytes, msg_dir: str, reasm_ctx=None,
@@ -159,7 +191,8 @@ def acars_parse(buf: bytes, msg_dir: str, reasm_ctx=None,
     if data[12] != STX:
         node.err = True
         return node
-    body = _printable(bytes(data[13:body_end]))
+    body_raw = bytes(data[13:body_end])
+    body = _printable(body_raw)
     if msg_dir == MSG_DIR_AIR2GND:
         if len(body) < 10:
             node.err = True
@@ -168,8 +201,10 @@ def acars_parse(buf: bytes, msg_dir: str, reasm_ctx=None,
         node.msg_num_seq = body[3]
         node.flight_id = body[4:10]
         node.txt = body[10:]
+        node.txt_raw = body_raw[10:]
     else:
         node.txt = body
+        node.txt_raw = body_raw
 
     _extract_sublabel_mfi(node)
     return node
@@ -184,9 +219,11 @@ def _extract_sublabel_mfi(node: AcarsNode) -> None:
         if len(txt) >= 4 and txt[0] == "#" and txt[3] == "B":
             node.sublabel = txt[1:3]
             txt = txt[4:]
+            node.txt_raw = node.txt_raw[4:]
             if len(txt) >= 4 and txt[2] == "/" :
                 node.mfi = txt[0:2]
                 txt = txt[3:]
+                node.txt_raw = node.txt_raw[3:]
             node.txt = txt
     else:
         if len(txt) >= 4 and txt[0] == "-" and txt[3] == "#":
@@ -212,6 +249,7 @@ def _reassemble(node: AcarsNode, reasm_ctx, rx_time: float) -> None:
         payload = table.payload_get(key)
         if payload is not None:
             node.txt = payload.decode("latin-1")
+            node.txt_raw = payload
 
 
 def parse_acars(buf: bytes, msg_type: int, reasm_ctx=None,

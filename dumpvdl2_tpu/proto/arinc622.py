@@ -1,16 +1,28 @@
 """ARINC 622 ATS applications carried inside ACARS text.
 
 CPDLC (FANS-1/A), ADS-C v1 and friends ride on ACARS labels A6/AA/B6/BA
-etc. with an IMI ("/ADS.", "/AT1.", ...) and hex-encoded payload.  The
-reference gets this from libacars; here detection sets the msg_type
-filter bits and attaches a decoded node when the payload is supported.
+etc. as an "ATS unit": ``/<facility>.<IMI><registration><binary><CRC>``.
+The reference obtains detection, CRC check and payload decode from
+libacars (reference src/acars.c:100-114; the decoders lived in dumpvdl2
+itself until v1.5.0, doc/NEWS.md:238-241).  Here:
+
+* the IMI table sets the msg_type filter bits,
+* the 16-bit ATS-unit CRC is actually computed (CRC-16-CCITT over the
+  unit starting after the '/'; both the HDLC-style complemented and the
+  plain residual conventions are accepted and the matching convention
+  recorded, since ARINC 622 implementations differ),
+* ADS/DIS payloads decode via proto/adsc_v1.py, AT1 via proto/fans.py,
+  and the connection-management IMIs (CR1/CC1/DR1) render as labelled
+  hex until their payload formats are modelled.
 """
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
 from ..config import MsgFilter
-from .base import JsonObj, ProtoNode, TextOut
+from ..link.crc import crc16_ccitt
+from .base import JsonObj, ProtoNode, TextOut, hex_str
 
 # IMI -> (application name, msg_type filter bit)
 _IMI_TABLE = {
@@ -24,70 +36,124 @@ _IMI_TABLE = {
 
 _ATS_LABELS = {"A6", "AA", "B6", "BA", "H1"}
 
+# "/<addr>.<IMI>" at any offset in the text (raw bytes).
+_ATS_RE = re.compile(rb"/([A-Z0-9]{3,8})\.(AT1|CR1|CC1|DR1|ADS|DIS)")
+_REG_RE = re.compile(rb"[. ]?[A-Z0-9-]{2,7} ?")
+
+
+def _crc_check(unit: bytes) -> tuple[bool, str]:
+    """Verify the trailing 16-bit CRC of an ATS unit.
+
+    ``unit`` = bytes from the character after '/' through the CRC.
+    Tries the known conventions; returns (ok, convention_name).
+    """
+    if len(unit) < 3:
+        return False, ""
+    body, stored = unit[:-2], unit[-2:]
+    for init, name in ((0xFFFF, "ccitt_ffff"), (0x0000, "ccitt_0000")):
+        crc = crc16_ccitt(body, init)
+        inv = crc ^ 0xFFFF
+        cands = {
+            bytes((crc & 0xFF, crc >> 8)): name + "_le",
+            bytes((crc >> 8, crc & 0xFF)): name + "_be",
+            bytes((inv & 0xFF, inv >> 8)): name + "_inv_le",
+            bytes((inv >> 8, inv & 0xFF)): name + "_inv_be",
+        }
+        if stored in cands:
+            return True, cands[stored]
+    return False, ""
+
 
 class Arinc622Node(ProtoNode):
     json_key = "arinc622"
 
-    def __init__(self, imi: str, app_name: str, ground_addr: str,
-                 payload_hex: str, crc_ok: bool) -> None:
+    def __init__(self, imi: str, app_name: str, addr: str, reg: str,
+                 payload: bytes, crc_ok: bool, crc_convention: str) -> None:
         super().__init__()
         self.imi = imi
         self.app_name = app_name
-        self.ground_addr = ground_addr
-        self.payload_hex = payload_hex
+        self.addr = addr                 # ground facility address
+        self.reg = reg                   # aircraft registration field
+        self.payload = payload           # binary ATS data (sans CRC)
         self.crc_ok = crc_ok
+        self.crc_convention = crc_convention
 
     def format_text(self, out: TextOut, indent: int) -> None:
         out.iline(indent, f"{self.app_name} message:")
-        if self.ground_addr:
-            out.iline(indent + 1, f"Ground terminal: {self.ground_addr}")
+        if self.addr:
+            out.iline(indent + 1, f"Ground terminal: {self.addr}")
+        if self.reg:
+            out.iline(indent + 1, f"Aircraft: {self.reg}")
         if not self.crc_ok:
             out.iline(indent + 1, "-- CRC check failed")
-        if self.payload_hex:
-            out.iline(indent + 1, f"Data: {self.payload_hex}")
+        if self.next is None and self.payload:
+            out.iline(indent + 1, f"Data: {hex_str(self.payload)}")
 
     def format_json(self, obj: JsonObj) -> None:
         obj["imi"] = self.imi
         obj["app"] = self.app_name
-        if self.ground_addr:
-            obj["gs_addr"] = self.ground_addr
+        if self.addr:
+            obj["gs_addr"] = self.addr
+        if self.reg:
+            obj["reg"] = self.reg
         obj["crc_ok"] = self.crc_ok
-        obj["data"] = self.payload_hex
+        if self.crc_ok and self.crc_convention:
+            obj["crc_convention"] = self.crc_convention
+        if self.next is None and self.payload:
+            obj["data"] = hex_str(self.payload)
 
 
 def maybe_parse_arinc622(acars_node, msg_type: int
                          ) -> Tuple[Optional[ProtoNode], int]:
-    """Detect an ARINC 622 IMI in the ACARS text; returns (node, msg_type)."""
+    """Detect and decode an ARINC 622 ATS unit in the ACARS text.
+
+    Uses the raw (8-bit) text bytes — ATS binary payloads use the full
+    octet range on VDL2 and must not be parity-masked.
+    """
     label = acars_node.label
-    txt = acars_node.txt
-    if label not in _ATS_LABELS or not txt or "/" not in txt:
+    raw = getattr(acars_node, "txt_raw", None)
+    if raw is None:
+        raw = acars_node.txt.encode("latin-1", "replace")
+    if label not in _ATS_LABELS or not raw:
         return None, msg_type
-    # downlink: "/<ground addr>.<IMI><payload>"; uplink: "/<IMI>.<addr> ..."
-    body = txt
-    if not body.startswith("/"):
+
+    m = _ATS_RE.search(raw)
+    if m is None:
+        # ACARS media with character parity deliver the unit with bit 8
+        # used as parity; retry on the parity-stripped text.
+        raw = bytes(b & 0x7F for b in raw)
+        m = _ATS_RE.search(raw)
+    if m is None:
         return None, msg_type
-    body = body[1:]
-    ground_addr = ""
-    imi = ""
-    payload = ""
-    dot = body.find(".")
-    if dot < 0:
-        return None, msg_type
-    head, rest = body[:dot], body[dot + 1:]
-    if head in _IMI_TABLE:                      # uplink: /IMI.addr payload
-        imi = head
-        sp = rest.find(" ")
-        ground_addr, payload = (rest, "") if sp < 0 else \
-            (rest[:sp], rest[sp + 1:])
-    elif rest[:3] in _IMI_TABLE:                # downlink: /addr.IMIpayload
-        ground_addr = head
-        imi = rest[:3]
-        payload = rest[3:]
-    else:
-        return None, msg_type
+    addr = m.group(1).decode("ascii")
+    imi = m.group(2).decode("ascii")
+    rest = raw[m.end():]
+
+    # Optional aircraft registration field right after the IMI
+    # (printable, typically ".N123AB" = 7 chars).
+    reg = ""
+    rm = _REG_RE.match(rest)
+    if rm is not None and rm.end() <= 8:
+        reg = rm.group(0).decode("ascii").strip(". ")
+        rest = rest[rm.end():]
+
     app_name, flt_bit = _IMI_TABLE[imi]
     msg_type |= flt_bit
-    # payload is hex chars followed by a 4-hex-digit CRC suffix
-    payload = payload.strip()
-    node = Arinc622Node(imi, app_name, ground_addr, payload, crc_ok=True)
+
+    unit = raw[m.start() + 1:]           # after '/' through CRC
+    crc_ok, convention = _crc_check(unit)
+    payload = rest[:-2] if crc_ok and len(rest) >= 2 else rest
+
+    node = Arinc622Node(imi, app_name, addr, reg, payload,
+                        crc_ok, convention)
+
+    from ..proto.acars import MSG_DIR_AIR2GND, MSG_DIR_GND2AIR
+    downlink = acars_node.msg_dir == MSG_DIR_AIR2GND
+    if payload:
+        if imi in ("ADS", "DIS"):
+            from .adsc_v1 import adsc_parse
+            node.next = adsc_parse(payload, downlink=downlink)
+        elif imi == "AT1":
+            from .fans import cpdlc_fans_parse
+            node.next = cpdlc_fans_parse(payload, uplink=not downlink)
     return node, msg_type

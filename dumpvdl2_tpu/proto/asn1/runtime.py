@@ -331,6 +331,14 @@ def _decode_node(schema: Schema, node: Node, rd: BitReader,
         return _decode_oid(rd, relative=True)
     if kind == "any":
         return _get_open_type(rd)
+    if kind == "rest":
+        # Consume every remaining bit ("unparsed tail"): used for FANS
+        # message-element arguments whose types are not modelled yet.
+        # Returns (bytes, nbits) like a BIT STRING.
+        n = rd.remaining()
+        data = bytes((rd.bits(min(8, n - i)) << max(0, 8 - (n - i))) & 0xFF
+                     for i in range(0, n, 8)) if n else b""
+        return (data, n)
     if kind == "alias":
         _, base, avc, asc = node
         basenode = schema.resolve(base)
@@ -548,6 +556,11 @@ def _encode_node(schema: Schema, node: Node, v: Any, wr: BitWriter,
         return
     if kind == "any":
         _put_open_type(wr, v)
+        return
+    if kind == "rest":
+        data, nbits = v
+        for i in range(nbits):
+            wr.bits((data[i >> 3] >> (7 - (i & 7))) & 1, 1)
         return
     if kind == "alias":
         _, base, avc, asc = node
