@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="IQ samples per processing block")
     gt.add_argument("--platform", default=None,
                     help="JAX platform override (cpu/tpu)")
+    gt.add_argument("--mesh", default=None, metavar="CxT",
+                    help="run the DSP sharded over a (channel x time) "
+                         "device mesh, e.g. 2x4 (channel count must "
+                         "divide evenly into C shards)")
     return p
 
 
@@ -195,10 +199,18 @@ def _make_pipeline(args: argparse.Namespace) -> VDL2Pipeline:
         centerfreq = freqs[0]
     else:
         centerfreq = (min(freqs) + max(freqs)) // 2
-    return VDL2Pipeline(freqs=freqs, centerfreq=centerfreq,
-                        sample_rate=sample_rate,
-                        oversample=args.oversample,
-                        max_ppm=args.max_ppm, station_id=args.station_id)
+    common = dict(freqs=freqs, centerfreq=centerfreq,
+                  sample_rate=sample_rate, oversample=args.oversample,
+                  max_ppm=args.max_ppm, station_id=args.station_id)
+    if args.mesh:
+        try:
+            cn, tn = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"error: invalid --mesh spec {args.mesh!r} "
+                             "(expected CxT, e.g. 2x4)")
+        from ..core.mesh_pipeline import MeshPipeline
+        return MeshPipeline(mesh_shape=(cn, tn), **common)
+    return VDL2Pipeline(**common)
 
 
 def run_iq_file(args: argparse.Namespace, decoder: FrameDecoder) -> int:

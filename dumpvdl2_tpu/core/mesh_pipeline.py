@@ -1,0 +1,254 @@
+"""Multi-chip streaming pipeline: the sharded DSP step in the app.
+
+Gives the application a mesh mode (`--mesh CxT`): wideband blocks are
+processed by parallel/sharded.py's shard_map step over a
+(channel, time) device mesh, candidates from all time shards merge back
+into the host decode loop of VDL2Pipeline, and output is identical to
+the single-device path (tests/test_mesh_cli.py asserts this on the
+bundled capture over a forced 8-device CPU mesh).
+
+Cross-block bursts: within a block, time shards exchange a forward
+halo sized for a whole burst, so any burst detected in a shard's fresh
+region is sliced completely.  A burst that runs off the END of a block
+(the last shard's forward pad is zeros) is deferred by the host
+(pipeline.last_deferred_min) and the next block is fed with a raw
+re-read of the affected tail ("prepend"), re-channelized with the
+exact NCO phase (n0 is absolute), reproducing the single-device halo
+semantics.  EOF flushes through the single-device demod on the raw
+tail buffer — bit-identical samples, same host logic.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import SPS, SYNC_THRESHOLD
+from ..dsp import demod as demod_mod
+from ..dsp.frontend import bandpass_channelize, to_planar
+from ..parallel.mesh import CHANNEL_AXIS, TIME_AXIS, make_mesh
+from ..parallel.sharded import (BACK_HALO, ShardedState, init_sharded_state,
+                                make_sharded_step)
+from .pipeline import DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline
+
+# Forward halo: a whole max-length burst fits ahead of any detection
+# point in a shard's fresh region.
+FWD_HALO = MAX_BURST_SYMS * SPS + 16
+# Margin (decimated samples) of context re-fed before a deferred burst:
+# sync-metric lookback + detection margin.
+_DEFER_MARGIN = BACK_HALO + 192
+
+
+class MeshPipeline(VDL2Pipeline):
+    """VDL2Pipeline whose per-block DSP runs sharded over a mesh."""
+
+    def __init__(self, freqs, centerfreq, sample_rate, oversample,
+                 mesh_shape=(1, 1), devices=None, **kw):
+        super().__init__(freqs, centerfreq, sample_rate, oversample, **kw)
+        cn, tn = mesh_shape
+        if len(freqs) % cn != 0:
+            raise ValueError(
+                f"channel count {len(freqs)} not divisible by "
+                f"channel shards {cn}")
+        self.mesh = make_mesh(cn, tn, devices)
+        self.Tn, self.Cn = tn, cn
+        self.step = make_sharded_step(
+            self.mesh, oversample=oversample, fwd_halo=FWD_HALO,
+            threshold=SYNC_THRESHOLD, max_candidates=self.max_candidates,
+            max_symbols=MAX_BURST_SYMS)
+        self.state = init_sharded_state(self.mesh, len(freqs),
+                                        self.taps.size)
+        self._unit = tn * oversample        # block length divisibility
+        self.global_raw = 0                 # absolute index of next input
+        # rolling raw tail for deferred-burst re-reads + EOF flush
+        self._tail_keep = (DEFAULT_HALO + _DEFER_MARGIN) * oversample \
+            + self.taps.size
+        self._tail = np.zeros((2, 0), np.float32)
+        self._prepend_from: int | None = None   # absolute raw index
+
+    # ------------------------------------------------------------ feed
+    def feed(self, iq: np.ndarray, eof: bool = False):
+        iq = np.ascontiguousarray(iq, dtype=np.complex64)
+        if self._residual.size:
+            iq = np.concatenate([self._residual, iq])
+            self._residual = np.zeros(0, np.complex64)
+        planar = to_planar(iq)
+
+        prepend = np.zeros((2, 0), np.float32)
+        base_raw = self.global_raw
+        override_state = False
+        if self._prepend_from is not None:
+            start = max(self._prepend_from,
+                        self.global_raw - self._tail.shape[1])
+            n_pre = self.global_raw - start
+            if n_pre > 0 and n_pre + planar.shape[1] >= self._unit:
+                prepend = self._tail[:, self._tail.shape[1] - n_pre:]
+                base_raw = start
+                override_state = True
+                self._prepend_from = None
+            # else: input too small to make a block; keep deferring
+
+        block = np.concatenate([prepend, planar], axis=1)
+        usable = (block.shape[1] // self._unit) * self._unit
+        # each shard must at least cover the FIR carry exchange
+        min_block = -(- self.Tn * (self.taps.size - 1 + self.oversample)
+                      // self._unit) * self._unit
+        if usable < min_block:
+            self._residual = iq
+            if override_state:
+                self._prepend_from = base_raw     # retry with more input
+            return self.finish() if eof else []
+        # residual = the tail of the *input* not consumed this round
+        consumed_fresh = max(0, usable - prepend.shape[1])
+        self._residual = iq[consumed_fresh:]
+        block = block[:, :usable]
+
+        # advance global position by consumed fresh samples only
+        self.global_raw += consumed_fresh
+        self._push_tail(planar[:, :consumed_fresh])
+
+        if block.shape[1] == 0:
+            return self.finish() if eof else []
+
+        state = self.state
+        if override_state:
+            state = self._rebase_state(base_raw)
+        cands, pwr3, self.state = self.step(
+            block, np.asarray(self.taps), self.dphi, state)
+        if override_state:
+            # carried n0 advanced from the overridden base; re-anchor it
+            # to the true stream position for the next (normal) block.
+            self.state = self._with_n0(self.state, self.global_raw)
+
+        pwr3_np = np.asarray(pwr3)
+        if override_state:
+            # drop tracker entries that re-cover prepended samples: the
+            # single-device tracker saw them already (stat parity)
+            prepend_dec = prepend.shape[1] // self.oversample
+            X = pwr3_np.shape[1] // self.Tn
+            Ml = block.shape[1] // self.Tn // self.oversample
+            j = np.arange(pwr3_np.shape[1])
+            s, jj = np.divmod(j, X)
+            pwr3_np = pwr3_np[:, s * Ml + 3 * jj >= prepend_dec]
+        self._update_noise_floor_pwr(pwr3_np)
+        merged, l2_map = self._merge_candidates(cands)
+        l2 = self._launch_l2_flat(cands)
+        base_dec = base_raw // self.oversample
+        frames = self._process_candidates(merged, base_dec, eof=False,
+                                          l2=l2, l2_map=l2_map)
+        if self.last_deferred_min is not None:
+            self._prepend_from = max(
+                0, (self.last_deferred_min - _DEFER_MARGIN)
+                * self.oversample)
+        if eof:
+            frames.extend(self.finish())
+        return frames
+
+    # ----------------------------------------------------------- flush
+    def finish(self):
+        """EOF: run the single-device demod over the raw tail buffer.
+
+        The band-pass channelizer is a pure function of (samples, n0),
+        so re-channelizing the tail yields bit-identical decimated
+        samples; candidates resolve with the same host logic as the
+        single-device finish().
+        """
+        if self._residual.size:
+            extra = to_planar(self._residual)
+            self._residual = np.zeros(0, np.complex64)
+            self.global_raw += extra.shape[1]
+            self._push_tail(extra)
+        take = min(self._tail.shape[1],
+                   (DEFAULT_HALO + _DEFER_MARGIN) * self.oversample
+                   + (self.taps.size - 1))
+        if take < self.taps.size:
+            return []
+        tail = self._tail[:, self._tail.shape[1] - take:]
+        start_raw = self.global_raw - take
+        usable = (take // self.oversample) * self.oversample
+        tail = tail[:, take - usable:]
+        start_raw = self.global_raw - usable
+        carry = np.zeros((2, self.taps.size - 1), np.float32)
+        dec, _ = bandpass_channelize(
+            tail, np.asarray(self.taps), self.dphi,
+            np.uint32(start_raw & 0xFFFFFF), carry, self.oversample)
+        # first taps-worth of outputs used a zero carry: junk, but they
+        # precede every unprocessed detection (margin covers them).
+        cands = self._demod_fn(np.asarray(dec), SYNC_THRESHOLD,
+                               self.max_candidates, MAX_BURST_SYMS)
+        l2 = self._launch_l2(cands)
+        return self._process_candidates(
+            cands, start_raw // self.oversample, eof=True, l2=l2)
+
+    # --------------------------------------------------------- helpers
+    def _push_tail(self, planar: np.ndarray) -> None:
+        if planar.shape[1] == 0:
+            return
+        self._tail = np.concatenate([self._tail, planar], axis=1)
+        if self._tail.shape[1] > self._tail_keep:
+            self._tail = self._tail[:, self._tail.shape[1]
+                                    - self._tail_keep:]
+
+    def _rebase_state(self, base_raw: int) -> ShardedState:
+        """State for a block that re-reads old samples: shard 0's FIR
+        prefix comes from the tail buffer, its sync halo is zeroed
+        (covered by the defer margin), n0 is the absolute position."""
+        st = init_sharded_state(self.mesh, len(self.freqs), self.taps.size)
+        T = self.taps.size
+        raw_tail = np.asarray(st.raw_tail)
+        have = self.global_raw - base_raw
+        pre = self._tail[:, max(0, self._tail.shape[1] - have - (T - 1)):
+                         self._tail.shape[1] - have]
+        if pre.shape[1] == T - 1:
+            raw_tail = raw_tail.copy()
+            raw_tail[0] = pre
+        return self._with_n0(
+            ShardedState(raw_tail=self._put(raw_tail, st.raw_tail),
+                         dec_tail=st.dec_tail, n0=st.n0), base_raw)
+
+    def _with_n0(self, st: ShardedState, raw_pos: int) -> ShardedState:
+        import jax
+        n0 = jax.device_put(np.uint32(raw_pos & 0xFFFFFF),
+                            st.n0.sharding if hasattr(st.n0, "sharding")
+                            else None)
+        return ShardedState(raw_tail=st.raw_tail, dec_tail=st.dec_tail,
+                            n0=n0)
+
+    def _put(self, arr: np.ndarray, like):
+        import jax
+        return jax.device_put(arr, like.sharding)
+
+    def _merge_candidates(self, cands):
+        """Compact (Tn, C, K) candidate slots into (C, Tn*K) in time
+        order, with a map back to the flat device L2 batch index."""
+        import numpy as np
+        count = np.asarray(cands.count)          # (Tn, C)
+        arrs = {f: np.asarray(getattr(cands, f))
+                for f in cands._fields if f != "count"}
+        Tn, C, K = arrs["det_idx"].shape
+        W = Tn * K
+        out = {f: np.zeros((C,) + (W,) + a.shape[3:], a.dtype)
+               for f, a in arrs.items()}
+        out["det_idx"] = np.full((C, W), -1, np.int32)
+        mcount = np.zeros(C, np.int32)
+        l2_map = np.zeros((C, W), np.int64)
+        for c in range(C):
+            j = 0
+            for t in range(Tn):
+                n = int(min(count[t, c], K))
+                for f, a in arrs.items():
+                    out[f][c, j:j + n] = a[t, c, :n]
+                l2_map[c, j:j + n] = (t * C + c) * K + np.arange(n)
+                j += n
+                if count[t, c] > K:
+                    self.channels[c].bump("demod.sync.overflow")
+            mcount[c] = j
+        from ..dsp.demod import Candidates
+        return Candidates(count=mcount, **out), l2_map
+
+    def _launch_l2_flat(self, cands):
+        if not self.use_device_l2:
+            return None
+        import jax.numpy as jnp
+        from ..fec.l2_tpu import l2_decode_batch
+        syms = jnp.reshape(jnp.asarray(cands.symbols),
+                           (-1, MAX_BURST_SYMS))
+        return l2_decode_batch(syms, MAX_BURST_SYMS)

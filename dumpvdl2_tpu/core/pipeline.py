@@ -152,15 +152,23 @@ class VDL2Pipeline:
 
     # ------------------------------------------------------------- candidates
     def _process_candidates(self, cands, base: int, eof: bool,
-                            l2=None) -> list[DecodedFrame]:
+                            l2=None, l2_map=None) -> list[DecodedFrame]:
         out: list[DecodedFrame] = []
         l2_np: dict | None = None
+        self.last_deferred_min: int | None = None
 
         def l2_result(c: int, k: int) -> BurstResult:
             nonlocal l2_np
             if l2_np is None:
                 l2_np = jax_tree_to_numpy(l2)
-            return _result_from_batch(l2_np, c * self.max_candidates + k)
+            idx = int(l2_map[c, k]) if l2_map is not None \
+                else c * self.max_candidates + k
+            return _result_from_batch(l2_np, idx)
+
+        def defer(det_g: int) -> None:
+            if self.last_deferred_min is None \
+                    or det_g < self.last_deferred_min:
+                self.last_deferred_min = det_g
 
         count = np.asarray(cands.count)
         det_idx = np.asarray(cands.det_idx)
@@ -185,6 +193,7 @@ class VDL2Pipeline:
                         ch.next_det_min = det_g + 1
                         continue
                     ch.next_det_min = det_g   # retry next block
+                    defer(det_g)
                     break
                 ch.bump("demod.sync.good")
                 syms = symbols[c, k]
@@ -209,6 +218,7 @@ class VDL2Pipeline:
                 if nsyms_avail < total_syms:
                     if not eof:
                         ch.next_det_min = det_g
+                        defer(det_g)
                         break
                     ch.next_det_min = det_g + 1   # truncated at EOF: lost
                     ch.bump("decoder.errors.eof_truncated")

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import SYNC_THRESHOLD
+from ..constants import SPS, SYNC_THRESHOLD
 from ..dsp.demod import Candidates, find_and_slice_impl
 from ..dsp.frontend import bandpass_channelize_impl
 from .mesh import CHANNEL_AXIS, TIME_AXIS
@@ -86,13 +86,33 @@ def _block_shard(iq_local: jax.Array, taps: jax.Array,
     own_dtail = dec[:, :, Ml - H:]
     recv_dtail = _shift(own_dtail, TIME_AXIS, +1, Tn)
     back = jnp.where(t == 0, state.dec_tail, recv_dtail)
-    own_dhead = dec[:, :, :F]
-    recv_dhead = _shift(own_dhead, TIME_AXIS, -1, Tn)
-    fwd = jnp.where(t == Tn - 1, jnp.zeros_like(recv_dhead), recv_dhead)
+    # Forward halo may span SEVERAL shards when shards are shorter than
+    # a max-length burst (F > Ml): hop h brings shard t+h's samples.
+    # Each hop sends only what the window still needs, so total ICI
+    # traffic stays ~F samples per neighbour pair regardless of hops.
+    hops = -(-F // Ml)
+    parts = []
+    remaining = F
+    for h in range(1, hops + 1):
+        take = min(Ml, remaining)
+        recv = _shift(dec[:, :, :take], TIME_AXIS, -h, Tn)
+        parts.append(jnp.where(t >= Tn - h, jnp.zeros_like(recv), recv))
+        remaining -= take
+    fwd = jnp.concatenate(parts, axis=2)               # (2, Cl, F)
 
     block = jnp.concatenate([back, dec, fwd], axis=2)  # (2, Cl, H+Ml+F)
     cands = find_and_slice_impl(block, threshold, max_candidates,
                                 max_symbols, detect_lo=H, detect_hi=H + Ml)
+
+    # Samples past the last shard's fresh region are zero pad, not
+    # future data: cap sym_valid at each shard's true data horizon so
+    # the host defers bursts that run off the block end instead of
+    # decoding junk symbols.
+    avail_fwd = jnp.minimum(F, (Tn - 1 - t) * Ml)
+    cap = jnp.clip((H + Ml + avail_fwd - 1 - cands.sync_idx) // SPS, 0,
+                   max_symbols).astype(jnp.int32)
+    cands = cands._replace(
+        sym_valid=jnp.minimum(cands.sym_valid, cap))
 
     # Rebase indices to block-global decimated coordinates (relative to
     # the first fresh decimated sample of this call; halo hits from
