@@ -8,6 +8,7 @@ options.  Live SDR drivers attach through dumpvdl2_tpu.io.sdr.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -118,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="IQ samples per processing block")
     gt.add_argument("--platform", default=None,
                     help="JAX platform override (cpu/tpu)")
+    go.add_argument("--debug", default=None, metavar="FILTER_SPEC",
+                    help="enable debug trace classes (comma list, '-' "
+                         "negates; classes: sdr demod demod_detail burst "
+                         "burst_detail proto proto_detail stats cache "
+                         "output misc all none)")
     gt.add_argument("--mesh", default=None, metavar="CxT",
                     help="run the DSP sharded over a (channel x time) "
                          "device mesh, e.g. 2x4 (channel count must "
@@ -127,6 +133,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def apply_config(args: argparse.Namespace) -> None:
     from ..config import AddrInfoVerbosity
+    if args.debug:
+        from ..utils.debug import parse_debug_filterspec, set_debug_mask
+        try:
+            set_debug_mask(parse_debug_filterspec(args.debug))
+        except ValueError as exc:
+            raise SystemExit(f"error: {exc}")
     Config.msg_filter = parse_msg_filterspec(args.msg_filter)
     Config.max_ppm = args.max_ppm
     Config.output_queue_hwm = args.output_queue_hwm
@@ -140,6 +152,35 @@ def apply_config(args: argparse.Namespace) -> None:
     Config.prettify_xml = args.prettify_xml
     Config.prettify_json = args.prettify_json
     Config.addrinfo_verbosity = AddrInfoVerbosity[args.addrinfo.upper()]
+
+
+_do_exit = 0
+
+
+def _sighandler(signum, frame) -> None:
+    """First signal: orderly drain; second: force quit
+    (reference dumpvdl2.c:69-92)."""
+    global _do_exit
+    _do_exit += 1
+    if _do_exit > 1:
+        os._exit(1)
+    print("got signal, exiting...", file=sys.stderr)
+
+
+def exit_requested() -> bool:
+    return _do_exit > 0
+
+
+def setup_signals() -> None:
+    import signal as _signal
+    for name in ("SIGINT", "SIGTERM", "SIGHUP", "SIGQUIT"):
+        sig = getattr(_signal, name, None)
+        if sig is None:
+            continue
+        try:
+            _signal.signal(sig, _sighandler)
+        except (ValueError, OSError):
+            pass     # non-main thread / unsupported platform
 
 
 def main(argv=None) -> int:
@@ -171,23 +212,29 @@ def main(argv=None) -> int:
 
     decoder = FrameDecoder(fmtr_list)
     decoder.start_outputs()
+    setup_signals()
 
+    rc = 1
     try:
         if args.raw_frames_file:
-            return run_raw_frames(args, decoder)
-        if args.iq_file:
-            return run_iq_file(args, decoder)
-        if args.soapysdr is not None:
+            rc = run_raw_frames(args, decoder)
+        elif args.iq_file:
+            rc = run_iq_file(args, decoder)
+        elif args.soapysdr is not None:
             from ..io.sdr import run_soapysdr
-            return run_soapysdr(args, decoder, _make_pipeline(args))
-        print("error: no input specified (--iq-file, --raw-frames-file "
-              "or --soapysdr)", file=sys.stderr)
-        return 1
+            rc = run_soapysdr(args, decoder, _make_pipeline(args))
+        else:
+            print("error: no input specified (--iq-file, "
+                  "--raw-frames-file or --soapysdr)", file=sys.stderr)
+            return 1
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
         return 130
     finally:
         decoder.shutdown()
+    if exit_requested():
+        return 130
+    return rc
 
 
 def _make_pipeline(args: argparse.Namespace) -> VDL2Pipeline:
@@ -219,6 +266,8 @@ def run_iq_file(args: argparse.Namespace, decoder: FrameDecoder) -> int:
     try:
         for blk in iqfile.iq_blocks(fh, args.sample_format,
                                     bufsize=args.block_size):
+            if exit_requested():
+                break
             decoder.process_all(pipe.feed(blk))
         decoder.process_all(pipe.finish())
     finally:
@@ -232,6 +281,8 @@ def run_raw_frames(args: argparse.Namespace, decoder: FrameDecoder) -> int:
         else open(args.raw_frames_file, "rb")
     try:
         for decoded in rawframes.read_records(fh):
+            if exit_requested():
+                break
             decoder.process(decoded)
     finally:
         if fh is not sys.stdin.buffer:

@@ -16,6 +16,8 @@ from ..core.metadata import DecodedFrame
 from ..io.outputs import FormatterInstance
 from ..proto.avlc import avlc_parse
 from ..proto.reasm import ReasmContexts
+from ..utils.debug import (D_PROTO, D_PROTO_DETAIL, debug_print,
+                           debug_print_buf_hex)
 
 
 class FrameDecoder:
@@ -32,6 +34,9 @@ class FrameDecoder:
         metadata = decoded.metadata
         frame = bytes(decoded.frame)
         stats.increment_per_channel(metadata.freq, "avlc.frames.processed")
+        debug_print(D_PROTO, "frame on %d Hz, %d octets",
+                    metadata.freq, len(frame))
+        debug_print_buf_hex(D_PROTO_DETAIL, frame, "AVLC frame:")
         t0 = time.monotonic()
         root = None
         msg_type = 0

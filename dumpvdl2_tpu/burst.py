@@ -35,6 +35,8 @@ class BurstResult:
     syndrome: int = 0                # header FEC syndrome
     synd_weight: int = 0
     num_fec_corrections: int = 0
+    blocks_processed: int = 0        # RS codeword rows attempted
+    blocks_fec_ok: int = 0           # RS rows that verified/corrected
     frames: list[np.ndarray] = field(default_factory=list)  # octet arrays
     bits_consumed: int = HEADER_LEN  # demodulated bits this burst used
 
@@ -120,9 +122,11 @@ def _result_from_batch(out: dict, i: int) -> BurstResult:
     fec_row = out["fec_row"][i]
     rows = []
     for r in range(num_blocks):
+        res.blocks_processed += 1
         if counts[r] < 0:
             res.reason = "fec_bad"
             return res
+        res.blocks_fec_ok += 1
         if counts[r] > 0:
             res.num_fec_corrections += int(counts[r]) \
                 - (RS_N - RS_K - int(fec_row[r]))
@@ -174,10 +178,12 @@ def decode_burst(bits: np.ndarray) -> BurstResult:
     corrected_rows = []
     for r in range(num_blocks):
         nfec = RS_N - RS_K if r != num_blocks - 1 else get_fec_octetcount(last_len)
+        res.blocks_processed += 1
         row, ret = rs_verify(rs_tab[r], nfec)
         if ret < 0:
             res.reason = "fec_bad"
             return res
+        res.blocks_fec_ok += 1
         if ret > 0:
             # corrected octets excluding the intended erasures
             res.num_fec_corrections += ret - (RS_N - RS_K - nfec)

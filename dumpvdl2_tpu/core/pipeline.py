@@ -35,6 +35,8 @@ from .device import process_block
 from ..fec.scramble import descramble
 from ..utils.bits import symbols_to_bits_msb
 from .metadata import DecodedFrame, MsgMetadata
+from ..utils.debug import (D_BURST, D_BURST_DETAIL, D_DEMOD, debug_print,
+                           debug_print_buf_hex)
 
 # Longest possible burst in decimated samples (header + max payload), see
 # burst geometry in fec/interleave.py: 16825 bits -> 5609 symbols.
@@ -45,6 +47,18 @@ DEFAULT_HALO = MAX_BURST_SYMS * SPS + 256
 # payload processing) — used to split batch decode results back into the
 # reference's header/payload error funnels.
 _HEADER_REASONS = frozenset({"hdr_reserved_bits", "too_long", "no_fec"})
+
+
+def _error_counter(reason: str) -> str:
+    """Map a BurstResult failure reason to the reference's counter name.
+
+    Nonzero reserved header bits are counted as "decoder.crc.bad" by the
+    reference (decode.c:215-217); every other reason matches a
+    decoder.errors.* family by name (statsd.c:48-58).
+    """
+    if reason == "hdr_reserved_bits":
+        return "decoder.crc.bad"
+    return "decoder.errors." + reason
 
 
 def _resolve_device_l2() -> bool:
@@ -75,7 +89,12 @@ class ChannelState:
     stats: dict = field(default_factory=dict)
 
     def bump(self, counter: str, n: int = 1) -> None:
+        """Count locally AND export to the global sink with the
+        reference's per-channel metric names (statsd.c:34-63), so
+        --statsd emits the full demod/decoder funnel."""
         self.stats[counter] = self.stats.get(counter, 0) + n
+        from ..app.stats import stats
+        stats.increment_per_channel(self.freq, counter, n)
 
 
 class VDL2Pipeline:
@@ -174,6 +193,7 @@ class VDL2Pipeline:
         det_idx = np.asarray(cands.det_idx)
         sync_idx = np.asarray(cands.sync_idx)
         dphi = np.asarray(cands.dphi)
+        pherr = np.asarray(cands.pherr)
         symbols = np.asarray(cands.symbols)
         sym_valid = np.asarray(cands.sym_valid)
         power = np.asarray(cands.power)
@@ -196,6 +216,10 @@ class VDL2Pipeline:
                     defer(det_g)
                     break
                 ch.bump("demod.sync.good")
+                debug_print(D_DEMOD,
+                            "ch %d (%d Hz): sync at %d err=%.3f dphi=%.5f",
+                            c, ch.freq, sp_g, float(pherr[c, k]),
+                            float(dphi[c, k]))
                 syms = symbols[c, k]
                 full: BurstResult | None = None
                 if l2 is not None:
@@ -210,7 +234,9 @@ class VDL2Pipeline:
                     hdr_reason = hdr.reason
                     hdr_bits_consumed = hdr.bits_consumed
                 if not hdr_ok:
-                    ch.bump("decoder.errors." + hdr_reason)
+                    debug_print(D_BURST, "ch %d: header rejected (%s)",
+                                c, hdr_reason)
+                    ch.bump(_error_counter(hdr_reason))
                     ch.busy_until = sp_g + 9 * SPS
                     ch.next_det_min = det_g + 1
                     continue
@@ -236,8 +262,17 @@ class VDL2Pipeline:
                     res = decode_burst(bits)
                 ch.busy_until = sp_g + total_syms * SPS
                 ch.next_det_min = det_g + 1
+                debug_print(D_BURST,
+                            "ch %d: burst ok=%s reason=%s datalen=%d "
+                            "blocks=%d fec_corr=%d frames=%d",
+                            c, res.ok, res.reason or "-", res.datalen,
+                            res.blocks_processed, res.num_fec_corrections,
+                            len(res.frames))
+                for fr in res.frames:
+                    debug_print_buf_hex(D_BURST_DETAIL, fr,
+                                        "unstuffed frame:")
                 frame_pwr = float(power[c, k, :total_syms].mean())
-                self._count_burst(ch, res)
+                self._count_burst(ch, res, frame_pwr)
                 for i, frame in enumerate(res.frames):
                     md = MsgMetadata(
                         station_id=self.station_id, freq=ch.freq,
@@ -252,13 +287,21 @@ class VDL2Pipeline:
                     out.append(DecodedFrame(metadata=md, frame=frame))
         return out
 
-    def _count_burst(self, ch: ChannelState, res: BurstResult) -> None:
+    def _count_burst(self, ch: ChannelState, res: BurstResult,
+                     frame_pwr: float = 0.0) -> None:
+        """Reference decode-funnel counters (decode.c:210-380)."""
         if res.synd_weight == 0:
             ch.bump("decoder.crc.good")
+        if res.blocks_processed:
+            ch.bump("decoder.blocks.processed", res.blocks_processed)
+        if res.blocks_fec_ok:
+            ch.bump("decoder.blocks.fec_ok", res.blocks_fec_ok)
         if res.ok:
             ch.bump("decoder.msg.good", max(len(res.frames), 1))
+            if frame_pwr > 1.0:          # > 0 dBFS (decode.c:372)
+                ch.bump("decoder.msg.good_loud")
         elif res.reason:
-            ch.bump("decoder.errors." + res.reason)
+            ch.bump(_error_counter(res.reason))
 
     # ------------------------------------------------------------------ feed
     def feed(self, iq: np.ndarray, eof: bool = False) -> list[DecodedFrame]:

@@ -45,7 +45,10 @@ def ac_lookup(addr: int) -> Optional[dict]:
     now = time.time()
     with _lock:
         _gc(now)
+        from ..utils.debug import D_CACHE, debug_print
         hit = _cache.get(addr)
+        debug_print(D_CACHE, "ac_data lookup %06X: %s", addr,
+                    "hit" if hit is not None else "miss")
         if hit is not None and now - hit[0] <= CACHE_TTL:
             stats.increment("ac_data.cache.hits")
             return hit[1]

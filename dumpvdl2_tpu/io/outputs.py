@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from ..config import Config
+from ..utils.debug import D_OUTPUT, debug_print
 from ..core.metadata import MsgMetadata
 
 
@@ -114,6 +115,8 @@ class Output:
             print(f"{self.name} output queue overflow, throttling",
                   file=sys.stderr)
             return
+        debug_print(D_OUTPUT, "%s: queue message (%d bytes)",
+                    self.name, len(msg) if msg else 0)
         self.q.put((metadata, msg))
 
     def join(self, timeout: float = 10.0) -> None:

@@ -15,6 +15,8 @@ SOAPY_OVERSAMPLE = 20
 
 
 def run_soapysdr(args, decoder, pipeline) -> int:
+    from ..utils.debug import D_SDR, debug_print
+    debug_print(D_SDR, "starting SoapySDR input: %r", args.soapysdr)
     try:
         import SoapySDR
         from SoapySDR import SOAPY_SDR_RX, SOAPY_SDR_CS16

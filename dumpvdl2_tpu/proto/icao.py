@@ -65,8 +65,37 @@ class Asn1PduNode(ProtoNode):
         self.table = table
 
     def format_text(self, out: TextOut, indent: int) -> None:
+        from ..config import Config
+        if Config.dump_asn1:
+            # --dump-asn1: raw decoded-structure dump in normal output,
+            # the asn_fprint path of the reference (asn1-util.c:63-69).
+            out.iline(indent, f"ASN.1 dump ({self.typename}):")
+            self._dump(out, self.value, indent + 1)
         IcaoFormatter(SCHEMA, self.table).text(out, self.typename,
                                                self.value, indent)
+
+    def _dump(self, out: TextOut, value: Any, indent: int,
+              label: str = "") -> None:
+        prefix = f"{label}: " if label else ""
+        if isinstance(value, dict):
+            out.iline(indent, prefix + "{")
+            for k, v in value.items():
+                self._dump(out, v, indent + 1, str(k))
+            out.iline(indent, "}")
+        elif isinstance(value, tuple) and len(value) == 2 \
+                and isinstance(value[0], str):
+            out.iline(indent, prefix + f"CHOICE {value[0]}")
+            self._dump(out, value[1], indent + 1)
+        elif isinstance(value, list):
+            out.iline(indent, prefix + f"SEQUENCE OF ({len(value)})")
+            for v in value:
+                self._dump(out, v, indent + 1)
+        elif isinstance(value, (bytes, bytearray)):
+            out.iline(indent, prefix + value.hex())
+        elif value is None:
+            out.iline(indent, prefix + "NULL")
+        else:
+            out.iline(indent, prefix + repr(value))
 
     def format_json(self, obj: JsonObj) -> None:
         obj[self.typename] = IcaoFormatter(SCHEMA, self.table).json(

@@ -1,0 +1,153 @@
+"""Debug tracing, --dump-asn1, signal lifecycle, and the statsd funnel."""
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from test_cli import REPO, run_cli
+
+WAV = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
+
+
+# ------------------------------------------------------------- --debug
+
+def test_debug_filterspec_parse():
+    from dumpvdl2_tpu.utils.debug import (D_BURST, D_DEMOD, D_ALL,
+                                          parse_debug_filterspec)
+    assert parse_debug_filterspec("demod") == D_DEMOD
+    assert parse_debug_filterspec("demod,burst") == D_DEMOD | D_BURST
+    assert parse_debug_filterspec("all,-burst") == D_ALL & ~D_BURST
+    assert parse_debug_filterspec("none") == 0
+    with pytest.raises(ValueError):
+        parse_debug_filterspec("bogus")
+
+
+@pytest.mark.golden
+def test_debug_classes_emit_traces(reference_wav):
+    r = run_cli(["--iq-file", str(reference_wav),
+                 "--sample-format", "S16_LE",
+                 "--debug", "demod,burst,proto,output"])
+    assert r.returncode == 0, r.stderr.decode()
+    err = r.stderr.decode()
+    assert "[demod]" in err and "sync at" in err
+    assert "[burst]" in err and "burst ok=" in err
+    assert "[proto]" in err
+    assert "[output]" in err
+    # negation: last match wins
+    r2 = run_cli(["--iq-file", str(reference_wav),
+                  "--sample-format", "S16_LE",
+                  "--debug", "all,-demod,-demod_detail,-burst_detail,"
+                             "-proto_detail"])
+    err2 = r2.stderr.decode()
+    assert "[demod]" not in err2
+    assert "[burst]" in err2
+
+
+def test_debug_bad_class_rejected():
+    r = run_cli(["--iq-file", "/dev/null", "--debug", "nonsense"])
+    assert r.returncode != 0
+    assert b"unknown debug class" in r.stderr
+
+
+# --------------------------------------------------------- --dump-asn1
+
+def test_dump_asn1_renders_structs():
+    from dumpvdl2_tpu.config import Config, reset_config
+    from dumpvdl2_tpu.proto.base import TextOut
+    from dumpvdl2_tpu.proto.icao import Asn1PduNode
+    value = {"header": {"msgIdentificationNumber": 3},
+             "messageData": [("uM161", None)]}
+    node = Asn1PduNode("cpdlc", "ATCUplinkMessage", value)
+    reset_config()
+    out = TextOut()
+    try:
+        node.format_text(out, 0)
+    except Exception:
+        pass
+    assert "ASN.1 dump" not in out.getvalue()
+    Config.dump_asn1 = True
+    out = TextOut()
+    try:
+        node.format_text(out, 0)
+    except Exception:
+        pass
+    text = out.getvalue()
+    reset_config()
+    assert "ASN.1 dump (ATCUplinkMessage):" in text
+    assert "msgIdentificationNumber" in text
+    assert "CHOICE uM161" in text
+
+
+# --------------------------------------------------------------- signals
+
+def _spawn_cli(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, "-m", "dumpvdl2_tpu", "--platform", "cpu"] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=REPO)
+
+
+@pytest.mark.golden
+def test_sigterm_orderly_shutdown(tmp_path):
+    """SIGTERM mid-decode: drain and exit; output file stays complete."""
+    out = tmp_path / "o.txt"
+    p = _spawn_cli(["--iq-file", "/dev/zero", "--sample-format", "U8",
+                    "--output", f"decoded:text:file:path={out}"])
+    time.sleep(20)                      # get past jit compile into the loop
+    p.send_signal(signal.SIGTERM)
+    try:
+        _, err = p.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        pytest.fail("CLI did not exit after SIGTERM")
+    assert b"got signal, exiting" in err
+    assert p.returncode == 130
+
+
+@pytest.mark.golden
+def test_second_signal_forces_exit():
+    p = _spawn_cli(["--iq-file", "/dev/zero", "--sample-format", "U8"])
+    time.sleep(20)
+    p.send_signal(signal.SIGTERM)
+    time.sleep(0.3)
+    p.send_signal(signal.SIGTERM)
+    try:
+        p.communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        pytest.fail("CLI did not force-quit on second signal")
+    assert p.returncode in (1, 130)
+
+
+# ------------------------------------------------------------ stats funnel
+
+@pytest.mark.golden
+def test_decoder_funnel_counters(reference_wav):
+    """The golden wav drives the reference's per-channel decode funnel
+    (statsd.c:34-63) into the global sink."""
+    import numpy as np
+    from dumpvdl2_tpu.app.stats import stats
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
+    from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
+    from dumpvdl2_tpu.io import iqfile
+
+    stats.reset()
+    fs = SYMBOL_RATE * SPS * 10
+    pipe = VDL2Pipeline([136975000], 136975000, int(fs), 10)
+    with open(reference_wav, "rb") as fh:
+        for blk in iqfile.iq_blocks(fh, "S16_LE", bufsize=1 << 20):
+            pipe.feed(blk)
+        pipe.finish()
+    c = stats.counters
+    pre = "channels.136975000."
+    assert c[pre + "demod.sync.good"] >= 1
+    assert c[pre + "decoder.crc.good"] >= 1
+    assert c[pre + "decoder.blocks.processed"] >= 3   # 504 octets: 3 blocks
+    assert c[pre + "decoder.blocks.fec_ok"] >= 3
+    assert c[pre + "decoder.msg.good"] == 2           # the two golden frames
+    # local per-channel dict mirrors the export
+    assert pipe.channels[0].stats["decoder.msg.good"] == 2
