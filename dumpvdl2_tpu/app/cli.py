@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                          f"{SYMBOL_RATE * SPS} * this value")
     gi.add_argument("--centerfreq", type=parse_frequency, default=None,
                     help="center frequency of the recorded IQ data (Hz)")
+    gi.add_argument("--rtlsdr", default=None, metavar="DEVICE",
+                    help="read from an RTL-SDR device (index or serial; "
+                         "8-char strings match serials exactly, then by "
+                         "prefix/suffix)")
+    gi.add_argument("--bias", type=int, default=0, choices=(0, 1),
+                    help="enable RTL-SDR bias tee")
+    gi.add_argument("--bandwidth", type=int, default=0,
+                    help="tuner bandwidth in Hz (0 = auto)")
     gi.add_argument("--soapysdr", help="read from a SoapySDR device "
                                        "(device query string)")
     gi.add_argument("--gain", type=float, default=None,
@@ -220,12 +228,19 @@ def main(argv=None) -> int:
             rc = run_raw_frames(args, decoder)
         elif args.iq_file:
             rc = run_iq_file(args, decoder)
+        elif args.rtlsdr is not None:
+            from ..io.rtl import RTL_OVERSAMPLE, SDR_AUTO_GAIN, run_rtlsdr
+            args.oversample = RTL_OVERSAMPLE
+            if args.gain is None:
+                args.gain = SDR_AUTO_GAIN
+            rc = run_rtlsdr(args, decoder, _make_pipeline(args))
         elif args.soapysdr is not None:
             from ..io.sdr import run_soapysdr
             rc = run_soapysdr(args, decoder, _make_pipeline(args))
         else:
             print("error: no input specified (--iq-file, "
-                  "--raw-frames-file or --soapysdr)", file=sys.stderr)
+                  "--raw-frames-file, --rtlsdr or --soapysdr)",
+                  file=sys.stderr)
             return 1
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
