@@ -1,0 +1,274 @@
+"""Benchmark suite: one JSON line per BASELINE.json config.
+
+Run on the bench chip:  python bench_suite.py [--update-baseline]
+
+Configs measured (BASELINE.json "configs"):
+  1. single-channel decode of the bundled capture (end-to-end, host
+     protocol stack included) -> realtime factor
+  2. 8-channel NCO mix + Chebyshev FIR decimate channelizer at
+     2.1 Msps -> IQ Msamples/s/chip  (same as bench.py headline)
+  3. batched bit-level decode (descramble, header FEC, deinterleave,
+     RS(255,249)) -> bursts/s and RS codewords/s
+  4. end-to-end streaming pipeline (demod through decode, 8 channels,
+     device L2 path) -> Msamples/s sustained through feed()
+  5. wideband channelizer at 256 channels (8.4 Msps span)
+     -> Msamples/s and realtime channel capacity
+
+`--update-baseline` rewrites the measured-rows table in BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REPEATS = 10
+WAV = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
+
+
+def _median_time(fn, repeats=REPEATS):
+    fn()                                    # compile / warm caches
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_single_channel_wav():
+    """Config 1: the bundled capture through the full pipeline."""
+    import os
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
+    from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
+    from dumpvdl2_tpu.io import iqfile
+
+    if not os.path.exists(WAV):
+        return None
+    with open(WAV, "rb") as fh:
+        blocks = list(iqfile.iq_blocks(fh, "S16_LE", bufsize=1 << 20))
+    total = sum(b.size for b in blocks)
+    fs = SYMBOL_RATE * SPS * 10
+    duration = total / fs
+
+    def run():
+        pipe = VDL2Pipeline([136975000], 136975000, int(fs), 10)
+        n = 0
+        for b in blocks:
+            n += len(pipe.feed(b))
+        n += len(pipe.finish())
+        assert n == 2, f"expected 2 frames, got {n}"
+
+    dt = _median_time(run, repeats=5)
+    return {"metric": "single_channel_wav_decode_realtime_factor",
+            "value": round(duration / dt, 1), "unit": "x realtime",
+            "vs_baseline": round(duration / dt, 1)}
+
+
+def bench_channelizer_8ch():
+    """Config 2: the bench.py headline (kept identical)."""
+    import jax
+    import jax.numpy as jnp
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE, SYNC_THRESHOLD
+    from dumpvdl2_tpu.core.device import process_block
+    from dumpvdl2_tpu.dsp.chebyshev import fir_taps
+    from dumpvdl2_tpu.dsp.frontend import nco_dphi, prepare_taps
+
+    os_, C, halo, K, S = 20, 8, 160, 64, 5616
+    fs = SYMBOL_RATE * SPS * os_
+    center = 136.975e6
+    taps = jnp.asarray(prepare_taps(fir_taps(fs), os_))
+    dphi = jnp.asarray(np.array(
+        [nco_dphi(center, center - 25e3 * i, fs) for i in range(C)],
+        np.uint32))
+    N = 1 << 21
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray(rng.standard_normal((2, N)).astype(np.float32) * .05)
+    carry = jnp.zeros((2, taps.size - 1), jnp.float32)
+    hist = jnp.zeros((2, C, halo), jnp.float32)
+
+    def run():
+        out = process_block(iq, taps, dphi, jnp.uint32(0), carry, hist,
+                            os_, halo, SYNC_THRESHOLD, K, S)
+        jax.block_until_ready(out)
+
+    dt = _median_time(run)
+    msps = N / dt / 1e6
+    return {"metric": "iq_msamples_per_sec_per_chip_8ch",
+            "value": round(msps, 1), "unit": "Msamples/s",
+            "vs_baseline": round(msps / 2.1, 1)}
+
+
+def bench_bit_level_decode():
+    """Config 3: batched L2 decode of max-length bursts on device."""
+    import jax
+    from dumpvdl2_tpu.fec.l2_tpu import MAX_BLOCKS, l2_decode_batch
+    from dumpvdl2_tpu.sim import build_burst_bits
+
+    rng = np.random.default_rng(0)
+    S, B = 5616, 256
+    frames = [bytes(rng.integers(0, 256, 1990, dtype=np.uint8))]
+    bits = build_burst_bits(frames)          # ~16.8 kbit, 9 RS blocks
+    pad = rng.integers(0, 2, 3 * S - bits.size, dtype=np.uint8)
+    full = np.concatenate([bits, pad])
+    tri = full.reshape(S, 3)
+    syms = ((tri[:, 0] << 2) | (tri[:, 1] << 1) | tri[:, 2]).astype(np.uint8)
+    batch = np.broadcast_to(syms, (B, S)).copy()
+
+    def run():
+        out = l2_decode_batch(batch, S)
+        jax.block_until_ready(out)
+
+    dt = _median_time(run)
+    bursts_s = B / dt
+    cw_s = B * MAX_BLOCKS / dt
+    # realtime requirement: a saturated 31.5 kbps channel sends at most
+    # ~1.9 max-length bursts/s; vs_baseline = channels worth of bursts
+    return {"metric": "l2_bit_decode_bursts_per_sec",
+            "value": round(bursts_s, 1), "unit": "bursts/s",
+            "rs_codewords_per_sec": round(cw_s, 1),
+            "vs_baseline": round(bursts_s / 1.9, 1)}
+
+
+def bench_e2e_streaming():
+    """Config 4: sustained feed() rate, 8 channels with real bursts."""
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
+    from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
+    from dumpvdl2_tpu.sim import synthesize_iq_raw
+
+    os_, C = 20, 8
+    fs = SYMBOL_RATE * SPS * os_
+    center = 136.975e6
+    freqs = [int(center - 25e3 * i) for i in range(C)]
+    rng = np.random.default_rng(0)
+    N = 1 << 21
+    noise = (rng.standard_normal(N) + 1j * rng.standard_normal(N)) \
+        .astype(np.complex64) * 0.02
+    burst = synthesize_iq_raw([b"streaming bench payload " * 8],
+                              oversample=os_).astype(np.complex64)
+    sig = noise.copy()
+    sig[10000:10000 + burst.size] += burst * 0.5
+
+    pipe = VDL2Pipeline(freqs, int(center), int(fs), os_)
+
+    def run():
+        pipe.feed(sig)
+
+    dt = _median_time(run)
+    msps = N / dt / 1e6
+    return {"metric": "e2e_streaming_msamples_per_sec_8ch",
+            "value": round(msps, 1), "unit": "Msamples/s",
+            "vs_baseline": round(msps / 2.1, 1)}
+
+
+def bench_wideband_256ch():
+    """Config 5: 256-channel wideband channelizer on one chip.
+
+    fs = 8.4 Msps (oversample 80) covers a 256 x 25 kHz span; the
+    bench measures raw ingest Msamples/s through mix+decimate+sync for
+    all 256 channels, and reports the realtime margin at that fs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE, SYNC_THRESHOLD
+    from dumpvdl2_tpu.core.device import process_block
+    from dumpvdl2_tpu.dsp.chebyshev import fir_taps
+    from dumpvdl2_tpu.dsp.frontend import nco_dphi, prepare_taps
+
+    os_, C, halo, K, S = 80, 256, 160, 16, 5616
+    fs = SYMBOL_RATE * SPS * os_                     # 8.4 Msps
+    center = 136.975e6
+    taps = jnp.asarray(prepare_taps(fir_taps(fs), os_))
+    dphi = jnp.asarray(np.array(
+        [nco_dphi(center, center - 25e3 * (i - C // 2), fs)
+         for i in range(C)], np.uint32))
+    N = 1 << 22
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray(rng.standard_normal((2, N)).astype(np.float32) * .05)
+    carry = jnp.zeros((2, taps.size - 1), jnp.float32)
+    hist = jnp.zeros((2, C, halo), jnp.float32)
+
+    def run():
+        out = process_block(iq, taps, dphi, jnp.uint32(0), carry, hist,
+                            os_, halo, SYNC_THRESHOLD, K, S)
+        jax.block_until_ready(out)
+
+    dt = _median_time(run, repeats=5)
+    msps = N / dt / 1e6
+    # realtime needs fs = 8.4 Msps ingest; capacity = how many full
+    # 256-channel wideband spans one chip could demodulate in realtime
+    spans = msps / (fs / 1e6)
+    return {"metric": "wideband_256ch_msamples_per_sec",
+            "value": round(msps, 1), "unit": "Msamples/s",
+            "channels_at_realtime": int(spans * C),
+            "vs_baseline": round(spans, 2)}
+
+
+BENCHES = {
+    "single_channel_wav": bench_single_channel_wav,
+    "channelizer_8ch": bench_channelizer_8ch,
+    "bit_level_decode": bench_bit_level_decode,
+    "e2e_streaming": bench_e2e_streaming,
+    "wideband_256ch": bench_wideband_256ch,
+}
+
+
+def main() -> None:
+    update = "--update-baseline" in sys.argv
+    if "--only" in sys.argv:
+        # run ONE config in this process (the subprocess worker mode)
+        name = sys.argv[sys.argv.index("--only") + 1]
+        row = BENCHES[name]()
+        if row is not None:
+            print(json.dumps(row), flush=True)
+        return
+    # Each config runs in its own subprocess: a fresh backend session
+    # per bench keeps compile caches / device state from one config
+    # from contaminating another's timings.
+    import subprocess
+    rows = []
+    for name in BENCHES:
+        r = subprocess.run(
+            [sys.executable, __file__, "--only", name],
+            capture_output=True, text=True, timeout=3000)
+        line = ""
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                line = ln
+        if r.returncode != 0 or not line:
+            print(json.dumps({"metric": name, "error":
+                              (r.stderr or "no output")[-400:]}),
+                  flush=True)
+            continue
+        print(line, flush=True)
+        rows.append(json.loads(line))
+    if update:
+        _update_baseline(rows)
+
+
+def _update_baseline(rows) -> None:
+    import io
+    import jax
+    backend = jax.default_backend()
+    dev = str(jax.devices()[0])
+    lines = ["", f"## Measured (backend={backend}, device={dev})", "",
+             "| Metric | Value | Unit | vs baseline |", "|---|---|---|---|"]
+    for r in rows:
+        lines.append(f"| {r['metric']} | {r['value']} | {r['unit']} | "
+                     f"{r['vs_baseline']} |")
+    with open("BASELINE.md") as f:
+        text = f.read()
+    marker = "## Measured (backend="
+    if marker in text:
+        text = text[:text.index(marker)].rstrip() + "\n"
+    else:
+        text = text.rstrip() + "\n"
+    with open("BASELINE.md", "w") as f:
+        f.write(text + "\n".join(lines) + "\n")
+    print("BASELINE.md updated", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,7 @@ class MeshPipeline(VDL2Pipeline):
             self.state = self._with_n0(self.state, self.global_raw)
 
         pwr3_np = np.asarray(pwr3)
+        nf_base = base_raw // self.oversample
         if override_state:
             # drop tracker entries that re-cover prepended samples: the
             # single-device tracker saw them already (stat parity)
@@ -128,12 +129,17 @@ class MeshPipeline(VDL2Pipeline):
             j = np.arange(pwr3_np.shape[1])
             s, jj = np.divmod(j, X)
             pwr3_np = pwr3_np[:, s * Ml + 3 * jj >= prepend_dec]
-        self._update_noise_floor_pwr(pwr3_np)
-        merged, l2_map = self._merge_candidates(cands)
-        l2 = self._launch_l2_flat(cands)
+            nf_base += prepend_dec
+        # columns ~ every-3rd fresh decimated sample from nf_base
+        # (per-shard restarts misalign by <= 2 samples when Ml % 3 != 0)
+        self._stash_noise_block(pwr3_np, nf_base)
+        l2 = self._launch_l2_flat(cands)      # dispatch before any fetch
+        merged, l2_map = self._merge_candidates(
+            cands, skip_big=l2 is not None)
         base_dec = base_raw // self.oversample
         frames = self._process_candidates(merged, base_dec, eof=False,
                                           l2=l2, l2_map=l2_map)
+        self._finish_noise_block()
         if self.last_deferred_min is not None:
             self._prepend_from = max(
                 0, (self.last_deferred_min - _DEFER_MARGIN)
@@ -216,12 +222,19 @@ class MeshPipeline(VDL2Pipeline):
         import jax
         return jax.device_put(arr, like.sharding)
 
-    def _merge_candidates(self, cands):
+    def _merge_candidates(self, cands, skip_big: bool = False):
         """Compact (Tn, C, K) candidate slots into (C, Tn*K) in time
-        order, with a map back to the flat device L2 batch index."""
+        order, with a map back to the flat device L2 batch index.
+
+        ``skip_big``: with the device L2 path the (Tn, C, K, S)
+        symbols/power arrays are consumed on device — don't pull them
+        to the host; tiny placeholders keep the namedtuple shape."""
         import numpy as np
         count = np.asarray(cands.count)          # (Tn, C)
-        arrs = {f: np.asarray(getattr(cands, f))
+        big = ("symbols", "power") if skip_big else ()
+        arrs = {f: (np.zeros(tuple(getattr(cands, f).shape[:3]) + (1,),
+                             np.uint8) if f in big
+                    else np.asarray(getattr(cands, f)))
                 for f in cands._fields if f != "count"}
         Tn, C, K = arrs["det_idx"].shape
         W = Tn * K
@@ -251,4 +264,6 @@ class MeshPipeline(VDL2Pipeline):
         from ..fec.l2_tpu import l2_decode_batch
         syms = jnp.reshape(jnp.asarray(cands.symbols),
                            (-1, MAX_BURST_SYMS))
-        return l2_decode_batch(syms, MAX_BURST_SYMS)
+        pwr = jnp.reshape(jnp.asarray(cands.power),
+                          (-1, MAX_BURST_SYMS))
+        return l2_decode_batch(syms, MAX_BURST_SYMS, pwr)

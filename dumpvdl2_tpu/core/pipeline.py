@@ -86,6 +86,7 @@ class ChannelState:
     mag_lp: float = 0.0
     mag_nf: float = 2.0
     nfcnt: int = 0
+    deferred_at: int | None = None   # deferred burst position this block
     stats: dict = field(default_factory=dict)
 
     def bump(self, counter: str, n: int = 1) -> None:
@@ -137,7 +138,9 @@ class VDL2Pipeline:
         import jax.numpy as jnp
         syms = jnp.reshape(jnp.asarray(cands.symbols),
                            (-1, MAX_BURST_SYMS))
-        return l2_decode_batch(syms, MAX_BURST_SYMS)
+        pwr = jnp.reshape(jnp.asarray(cands.power),
+                          (-1, MAX_BURST_SYMS))
+        return l2_decode_batch(syms, MAX_BURST_SYMS, pwr)
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
@@ -149,25 +152,80 @@ class VDL2Pipeline:
         return dec
 
     # ----------------------------------------------------------- noise floor
-    def _update_noise_floor_pwr(self, pwr3: np.ndarray) -> None:
-        """EMA magnitude tracker (demod.c:238-243), per fresh block."""
-        mags = np.sqrt(pwr3.astype(np.float64))
+    # The reference updates its magnitude EMA + noise floor only in
+    # DM_INIT (every 3rd sample) and PAUSES while receiving a burst
+    # (demod.c:229-250).  Block form: feed() stashes the block's
+    # every-3rd-sample magnitudes; _process_candidates advances the
+    # tracker up to each burst's sync point before emitting (so header
+    # fields see the pre-burst floor), skipping busy windows.
+
+    def _stash_noise_block(self, pwr3: np.ndarray, base: int) -> None:
+        """``pwr3`` columns are magnitudes^2 of fresh decimated samples
+        base, base+3, base+6, ... (global indices)."""
+        self._nf_mags = np.sqrt(pwr3.astype(np.float64))
+        self._nf_base = base
+        self._nf_col = np.zeros(len(self.channels), np.int64)
+
+    def _advance_noise_floor(self, c: int, upto: int) -> None:
+        """Track magnitudes for channel ``c`` up to global dec index
+        ``upto``, skipping samples inside busy (burst) windows."""
+        mags = getattr(self, "_nf_mags", None)
+        if mags is None:
+            return
+        ch = self.channels[c]
+        ncols = mags.shape[1]
+        while self._nf_col[c] < ncols:
+            j = int(self._nf_col[c])
+            idx = self._nf_base + 3 * j
+            if idx >= upto:
+                break
+            # skip the busy window in one step
+            if idx < ch.busy_until:
+                skip_to = min(ch.busy_until, upto)
+                self._nf_col[c] = min(
+                    ncols, (skip_to - self._nf_base + 2) // 3)
+                continue
+            # contiguous trackable run: up to busy/upto boundary
+            end_idx = upto
+            run_end = min(ncols, (end_idx - self._nf_base + 2) // 3)
+            seg = mags[c, j:run_end]
+            self._nf_col[c] = run_end
+            self._track_channel(ch, seg)
+
+    def _track_channel(self, ch: ChannelState, seg: np.ndarray) -> None:
+        """EMA + per-1000 noise-floor update (demod.c:238-243)."""
+        if seg.size == 0:
+            return
         alpha = 1.0 - MAG_LP
+        y, _zi = scipy.signal.lfilter(
+            [alpha], [1.0, -MAG_LP], seg,
+            zi=np.array([MAG_LP * ch.mag_lp]))
+        ch.mag_lp = float(y[-1])
+        n = seg.size
+        first = 1000 - ch.nfcnt
+        k = ch.nfcnt + n
+        while first <= n:
+            v = float(y[first - 1])
+            ch.mag_nf = NF_LP * ch.mag_nf + \
+                (1.0 - NF_LP) * min(v, ch.mag_nf) + 0.0001
+            first += 1000
+        ch.nfcnt = k % 1000
+
+    def _finish_noise_block(self) -> None:
+        """Advance every channel to the block end — but not past a
+        deferred burst's sync point (the reference would already be in
+        DM_SYNC there; the skipped tail is re-covered as the burst's
+        busy window next block)."""
+        mags = getattr(self, "_nf_mags", None)
+        if mags is None:
+            return
+        end = self._nf_base + 3 * mags.shape[1]
         for c, ch in enumerate(self.channels):
-            y, zi = scipy.signal.lfilter(
-                [alpha], [1.0, -MAG_LP], mags[c],
-                zi=np.array([MAG_LP * ch.mag_lp]))
-            ch.mag_lp = float(y[-1]) if y.size else ch.mag_lp
-            # nf update fires every 1000 tracked magnitudes
-            n = mags.shape[1]
-            first = 1000 - ch.nfcnt
-            k = ch.nfcnt + n
-            while first <= n:
-                v = float(y[first - 1])
-                ch.mag_nf = NF_LP * ch.mag_nf + \
-                    (1.0 - NF_LP) * min(v, ch.mag_nf) + 0.0001
-                first += 1000
-            ch.nfcnt = k % 1000
+            upto = end if ch.deferred_at is None \
+                else min(end, ch.deferred_at)
+            self._advance_noise_floor(c, upto)
+            ch.deferred_at = None
+        self._nf_mags = None
 
     # ------------------------------------------------------------- candidates
     def _process_candidates(self, cands, base: int, eof: bool,
@@ -176,27 +234,40 @@ class VDL2Pipeline:
         l2_np: dict | None = None
         self.last_deferred_min: int | None = None
 
+        def l2_index(c: int, k: int) -> int:
+            return int(l2_map[c, k]) if l2_map is not None \
+                else c * self.max_candidates + k
+
         def l2_result(c: int, k: int) -> BurstResult:
             nonlocal l2_np
             if l2_np is None:
                 l2_np = jax_tree_to_numpy(l2)
-            idx = int(l2_map[c, k]) if l2_map is not None \
-                else c * self.max_candidates + k
-            return _result_from_batch(l2_np, idx)
+            return _result_from_batch(l2_np, l2_index(c, k))
 
-        def defer(det_g: int) -> None:
+        def l2_frame_pwr(c: int, k: int) -> float:
+            return float(l2_np["frame_pwr"][l2_index(c, k)])
+
+        def defer(det_g: int, ch: ChannelState) -> None:
             if self.last_deferred_min is None \
                     or det_g < self.last_deferred_min:
                 self.last_deferred_min = det_g
+            if ch.deferred_at is None or det_g < ch.deferred_at:
+                ch.deferred_at = det_g
 
         count = np.asarray(cands.count)
         det_idx = np.asarray(cands.det_idx)
         sync_idx = np.asarray(cands.sync_idx)
         dphi = np.asarray(cands.dphi)
         pherr = np.asarray(cands.pherr)
-        symbols = np.asarray(cands.symbols)
         sym_valid = np.asarray(cands.sym_valid)
-        power = np.asarray(cands.power)
+        # With the device L2 path, symbols/power stay ON DEVICE: the
+        # burst decode consumes them there and frame_pwr comes back in
+        # the l2 result, so the (C, K, S) arrays never cross the host
+        # link (15+ MB per block saved on interconnect-attached chips).
+        symbols = power = None
+        if l2 is None:
+            symbols = np.asarray(cands.symbols)
+            power = np.asarray(cands.power)
 
         for c, ch in enumerate(self.channels):
             for k in range(int(count[c])):
@@ -213,14 +284,13 @@ class VDL2Pipeline:
                         ch.next_det_min = det_g + 1
                         continue
                     ch.next_det_min = det_g   # retry next block
-                    defer(det_g)
+                    defer(det_g, ch)
                     break
                 ch.bump("demod.sync.good")
                 debug_print(D_DEMOD,
                             "ch %d (%d Hz): sync at %d err=%.3f dphi=%.5f",
                             c, ch.freq, sp_g, float(pherr[c, k]),
                             float(dphi[c, k]))
-                syms = symbols[c, k]
                 full: BurstResult | None = None
                 if l2 is not None:
                     full = l2_result(c, k)
@@ -228,7 +298,8 @@ class VDL2Pipeline:
                     hdr_reason = full.reason
                     hdr_bits_consumed = full.bits_consumed
                 else:
-                    hdr_bits = symbols_to_bits_msb(syms[:9])[:HEADER_LEN]
+                    hdr_bits = symbols_to_bits_msb(
+                        symbols[c, k][:9])[:HEADER_LEN]
                     hdr = header_info(descramble(hdr_bits))
                     hdr_ok = hdr.ok
                     hdr_reason = hdr.reason
@@ -237,6 +308,7 @@ class VDL2Pipeline:
                     debug_print(D_BURST, "ch %d: header rejected (%s)",
                                 c, hdr_reason)
                     ch.bump(_error_counter(hdr_reason))
+                    self._advance_noise_floor(c, sp_g)
                     ch.busy_until = sp_g + 9 * SPS
                     ch.next_det_min = det_g + 1
                     continue
@@ -244,7 +316,7 @@ class VDL2Pipeline:
                 if nsyms_avail < total_syms:
                     if not eof:
                         ch.next_det_min = det_g
-                        defer(det_g)
+                        defer(det_g, ch)
                         break
                     ch.next_det_min = det_g + 1   # truncated at EOF: lost
                     ch.bump("decoder.errors.eof_truncated")
@@ -258,8 +330,9 @@ class VDL2Pipeline:
                     res = full
                 else:
                     bits = symbols_to_bits_msb(
-                        syms[:total_syms])[:hdr_bits_consumed]
+                        symbols[c, k][:total_syms])[:hdr_bits_consumed]
                     res = decode_burst(bits)
+                self._advance_noise_floor(c, sp_g)
                 ch.busy_until = sp_g + total_syms * SPS
                 ch.next_det_min = det_g + 1
                 debug_print(D_BURST,
@@ -271,7 +344,8 @@ class VDL2Pipeline:
                 for fr in res.frames:
                     debug_print_buf_hex(D_BURST_DETAIL, fr,
                                         "unstuffed frame:")
-                frame_pwr = float(power[c, k, :total_syms].mean())
+                frame_pwr = l2_frame_pwr(c, k) if full is not None \
+                    else float(power[c, k, :total_syms].mean())
                 self._count_burst(ch, res, frame_pwr)
                 for i, frame in enumerate(res.frames):
                     md = MsgMetadata(
@@ -327,10 +401,11 @@ class VDL2Pipeline:
         self.carry = new_carry
         self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
         l2 = self._launch_l2(cands)
-        self._update_noise_floor_pwr(np.asarray(pwr3))
+        self._stash_noise_block(np.asarray(pwr3), self.hist_base + H)
 
         base = self.hist_base
         frames = self._process_candidates(cands, base, eof=False, l2=l2)
+        self._finish_noise_block()
 
         M_total = H + iq.shape[1] // self.oversample
         keep = min(DEFAULT_HALO, M_total)

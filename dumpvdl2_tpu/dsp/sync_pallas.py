@@ -39,16 +39,21 @@ _TILE = 2048                                # output lanes per grid step
 # lane extent of a manual-DMA slice to be a multiple of 128, so the
 # halo must keep 2048 + _HALO % 128 == 0 (2048+256 = 2304 = 18*128).
 _HALO = 256                                 # >= LOOKBACK, 128-aligned window
+_CB = 8                                     # channels per grid step (sublane)
 _TWO_PI = float(2.0 * np.pi)
 
 
 def _metric_kernel(ph_hbm, err_ref, freq_ref, win_ref, sem):
-    i = pl.program_id(0)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
     # Overlapping window: output cols [i*TILE, i*TILE+TILE) of the
     # (front-padded) phase array need input cols
-    # [i*TILE + HALO - LOOKBACK, i*TILE + HALO + TILE).
+    # [i*TILE + HALO - LOOKBACK, i*TILE + HALO + TILE).  Channels are
+    # tiled in sublane-aligned groups of _CB so wide channel counts
+    # (e.g. the 256-channel config) never exceed the VMEM budget.
     cp = pltpu.make_async_copy(
-        ph_hbm.at[:, pl.ds(i * _TILE, _TILE + _HALO)], win_ref, sem)
+        ph_hbm.at[pl.ds(c * _CB, _CB), pl.ds(i * _TILE, _TILE + _HALO)],
+        win_ref, sem)
     cp.start()
     cp.wait()
 
@@ -103,24 +108,24 @@ def sync_error_metric_pallas(phases: jax.Array, interpret: bool = False
     freq zero — same contract as the XLA version.
     """
     C, M = phases.shape
-    Cp = _pad_up(max(C, 1), 8)
+    Cp = _pad_up(max(C, 1), _CB)
     Mp = _pad_up(max(M, 1), _TILE)
     # Front pad by HALO so tile 0's window read stays in bounds; pad
-    # channels to the sublane multiple and time to the tile multiple.
+    # channels to the channel-tile multiple and time to the tile multiple.
     ph = jnp.pad(phases, ((0, Cp - C), (_HALO, Mp - M)))
-    grid = (Mp // _TILE,)
+    grid = (Cp // _CB, Mp // _TILE)
     err_p, freq_p = pl.pallas_call(
         _metric_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((Cp, _TILE), lambda i: (0, i),
+            pl.BlockSpec((_CB, _TILE), lambda c, i: (c, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, _TILE), lambda i: (0, i),
+            pl.BlockSpec((_CB, _TILE), lambda c, i: (c, i),
                          memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((Cp, Mp), jnp.float32),
                    jax.ShapeDtypeStruct((Cp, Mp), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((Cp, _TILE + _HALO), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_CB, _TILE + _HALO), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(ph)

@@ -60,11 +60,16 @@ def _fec_octetcount(last_len: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_symbols",))
-def l2_decode_batch(symbols: jax.Array, max_symbols: int):
+def l2_decode_batch(symbols: jax.Array, max_symbols: int,
+                    power: jax.Array | None = None):
     """Decode a batch of candidate bursts from their raw D8PSK symbols.
 
     Args:
       symbols: (B, S) uint8 gray-decoded 3-bit symbols, S == max_symbols.
+      power: optional (B, S) f32 per-symbol |iq|^2; when given, the
+        output gains "frame_pwr" (B,) — the mean power over each
+        burst's actual symbol count (decode.c:268-269) — so the host
+        never needs the full power array.
     Returns a dict of per-burst arrays:
       syndrome (B,) int32, synd_weight (B,) int32,
       reserved_bad / too_long / no_fec / hdr_ok (B,) bool,
@@ -160,7 +165,17 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int):
     corr, counts = rs_verify_batch(
         tab.reshape(B * MAX_BLOCKS, RS_N).astype(jnp.uint8),
         fec_row.reshape(B * MAX_BLOCKS))
+    extra = {}
+    if power is not None:
+        total_syms = jnp.maximum(-(-bits_consumed // 3), 1)
+        sidx = jnp.arange(S, dtype=jnp.int32)
+        msk = sidx[None, :] < total_syms[:, None]
+        extra["frame_pwr"] = jnp.where(
+            hdr_ok,
+            (power * msk).sum(axis=1) / total_syms.astype(jnp.float32),
+            0.0)
     return {
+        **extra,
         "syndrome": synd, "synd_weight": weight,
         "reserved_bad": reserved_bad, "too_long": too_long,
         "no_fec": no_fec, "hdr_ok": hdr_ok,

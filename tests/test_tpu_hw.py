@@ -90,8 +90,10 @@ print(json.dumps({
 """)
     assert res["backend"] == "tpu"
     assert res["inf_eq"]
-    assert res["err_max"] == 0.0
-    assert res["freq_max"] == 0.0
+    # compiled-vs-XLA may differ by float reassociation in the 16-term
+    # sums; the sync threshold is 4.0, so 1e-3 is 3.5 orders of margin
+    assert res["err_max"] < 1e-3
+    assert res["freq_max"] < 1e-5
 
 
 def test_process_block_tpu_smoke():
