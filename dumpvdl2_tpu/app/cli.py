@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "negates; classes: sdr demod demod_detail burst "
                          "burst_detail proto proto_detail stats cache "
                          "output misc all none)")
+    gt.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a JAX profiler trace of the run to DIR "
+                         "(the reference's gperftools hook, "
+                         "dumpvdl2.c:1156-1230; view with TensorBoard "
+                         "or xprof)")
     gt.add_argument("--mesh", default=None, metavar="CxT",
                     help="run the DSP sharded over a (channel x time) "
                          "device mesh, e.g. 2x4 (channel count must "
@@ -222,6 +227,12 @@ def main(argv=None) -> int:
     decoder.start_outputs()
     setup_signals()
 
+    profiling = False
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profiling = True
+
     rc = 1
     try:
         if args.raw_frames_file:
@@ -246,6 +257,11 @@ def main(argv=None) -> int:
         print("interrupted", file=sys.stderr)
         return 130
     finally:
+        if profiling:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}",
+                  file=sys.stderr)
         decoder.shutdown()
     if exit_requested():
         return 130

@@ -274,5 +274,9 @@ def parse_acars(buf: bytes, msg_type: int, reasm_ctx=None,
         # labels; parsed by proto/arinc622.py when present.
         from .arinc622 import maybe_parse_arinc622
         child, msg_type = maybe_parse_arinc622(node, msg_type)
+        if child is None and node.txt:
+            # other ACARS applications: media advisory / OHMA / MIAM
+            from .acars_apps import decode_acars_apps
+            child = decode_acars_apps(node.label, node.txt)
         node.next = child
     return node, msg_type
