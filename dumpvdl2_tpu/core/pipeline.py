@@ -389,7 +389,13 @@ class VDL2Pipeline:
             iq = np.concatenate([self._residual, iq])
         usable = (iq.size // self.oversample) * self.oversample
         self._residual = iq[usable:]
-        iq = to_planar(iq[:usable])
+        return self.feed_planar(to_planar(iq[:usable]), eof=eof)
+
+    def feed_planar(self, iq, eof: bool = False) -> list[DecodedFrame]:
+        """feed() for planar (2, N) float32 blocks, N a multiple of the
+        oversample factor.  ``iq`` may be a DEVICE-resident jax array —
+        an ingest path that DMAs straight into device memory (or reuses
+        an on-device block) skips the host->device copy entirely."""
         if iq.shape[1] == 0:
             return self.finish() if eof else []
 
