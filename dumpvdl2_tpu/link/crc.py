@@ -26,9 +26,18 @@ CRC_TABLE = _build_table()
 
 
 def crc16_ccitt(data: bytes | np.ndarray, crc_init: int = 0xFFFF) -> int:
+    buf = np.ascontiguousarray(
+        bytearray(data) if isinstance(data, bytes) else data,
+        dtype=np.uint8)
+    from ..native import load_l2host
+    lib = load_l2host()
+    if lib is not None and buf.size:
+        import ctypes
+        return int(lib.l2h_crc16_ccitt(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size, crc_init))
     crc = crc_init
-    for byte in np.asarray(bytearray(data) if isinstance(data, bytes) else data,
-                           dtype=np.uint8).tolist():
+    for byte in buf.tolist():
         crc = (crc >> 8) ^ int(CRC_TABLE[(crc ^ byte) & 0xFF])
     return crc
 
