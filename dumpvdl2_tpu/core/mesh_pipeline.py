@@ -229,13 +229,19 @@ class MeshPipeline(VDL2Pipeline):
         ``skip_big``: with the device L2 path the (Tn, C, K, S)
         symbols/power arrays are consumed on device — don't pull them
         to the host; tiny placeholders keep the namedtuple shape."""
+        import jax
         import numpy as np
-        count = np.asarray(cands.count)          # (Tn, C)
         big = ("symbols", "power") if skip_big else ()
-        arrs = {f: (np.zeros(tuple(getattr(cands, f).shape[:3]) + (1,),
-                             np.uint8) if f in big
-                    else np.asarray(getattr(cands, f)))
-                for f in cands._fields if f != "count"}
+        names = [f for f in cands._fields if f != "count" and f not in big]
+        # one coalesced device_get (count + every small field)
+        fetched = jax.device_get(tuple([cands.count]
+                                       + [getattr(cands, f)
+                                          for f in names]))
+        count = fetched[0]                       # (Tn, C)
+        arrs = dict(zip(names, fetched[1:]))
+        for f in big:
+            arrs[f] = np.zeros(tuple(getattr(cands, f).shape[:3]) + (1,),
+                               np.uint8)
         Tn, C, K = arrs["det_idx"].shape
         W = Tn * K
         out = {f: np.zeros((C,) + (W,) + a.shape[3:], a.dtype)

@@ -254,20 +254,25 @@ class VDL2Pipeline:
             if ch.deferred_at is None or det_g < ch.deferred_at:
                 ch.deferred_at = det_g
 
-        count = np.asarray(cands.count)
-        det_idx = np.asarray(cands.det_idx)
-        sync_idx = np.asarray(cands.sync_idx)
-        dphi = np.asarray(cands.dphi)
-        pherr = np.asarray(cands.pherr)
-        sym_valid = np.asarray(cands.sym_valid)
-        # With the device L2 path, symbols/power stay ON DEVICE: the
-        # burst decode consumes them there and frame_pwr comes back in
-        # the l2 result, so the (C, K, S) arrays never cross the host
-        # link (15+ MB per block saved on interconnect-attached chips).
-        symbols = power = None
+        # ONE coalesced device_get for all small candidate fields (per
+        # fetch there is a host sync — on latency-bound links each
+        # separate np.asarray costs a full roundtrip).
+        import jax
+        small = (cands.count, cands.det_idx, cands.sync_idx, cands.dphi,
+                 cands.pherr, cands.sym_valid)
         if l2 is None:
-            symbols = np.asarray(cands.symbols)
-            power = np.asarray(cands.power)
+            # host L2 path also needs the big arrays
+            (count, det_idx, sync_idx, dphi, pherr, sym_valid,
+             symbols, power) = jax.device_get(
+                small + (cands.symbols, cands.power))
+        else:
+            # With the device L2 path, symbols/power stay ON DEVICE:
+            # the burst decode consumes them there and frame_pwr comes
+            # back in the l2 result, so the (C, K, S) arrays never
+            # cross the host link.
+            count, det_idx, sync_idx, dphi, pherr, sym_valid = \
+                jax.device_get(small)
+            symbols = power = None
 
         for c, ch in enumerate(self.channels):
             for k in range(int(count[c])):

@@ -226,9 +226,17 @@ def _extract_sublabel_mfi(node: AcarsNode) -> None:
                 node.txt_raw = node.txt_raw[3:]
             node.txt = txt
     else:
-        if len(txt) >= 4 and txt[0] == "-" and txt[3] == "#":
-            # uplink form "- H1#CAD..." not modelled yet
-            pass
+        # uplink form: "- #<sublabel>" then optional "<MFI>/"
+        if len(txt) >= 5 and txt[0] == "-" and txt[1] == " " \
+                and txt[2] == "#":
+            node.sublabel = txt[3:5]
+            txt = txt[5:]
+            node.txt_raw = node.txt_raw[5:]
+            if len(txt) >= 3 and txt[2] == "/":
+                node.mfi = txt[0:2]
+                txt = txt[3:]
+                node.txt_raw = node.txt_raw[3:]
+            node.txt = txt
 
 
 def _reassemble(node: AcarsNode, reasm_ctx, rx_time: float) -> None:
