@@ -244,8 +244,10 @@ class ZmqOutput(Output):
         self._sock.send(msg)
 
     def handle_shutdown(self) -> None:
+        # linger long enough to flush queued PUB messages on exit —
+        # close(0) would silently drop everything still in flight
         if self._sock is not None:
-            self._sock.close(0)
+            self._sock.close(linger=2000)
 
 
 OUTPUTS = {
