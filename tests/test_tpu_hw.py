@@ -96,6 +96,29 @@ print(json.dumps({
     assert res["freq_max"] < 1e-5
 
 
+def test_golden_wav_decodes_on_tpu():
+    """Full end-to-end decode of the bundled capture on real TPU
+    hardware (Pallas sync kernel + device L2 batch active): the
+    upstream CI criterion must hold and both frames must decode."""
+    tpu_required()
+    import re
+    wav = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
+    if not os.path.exists(wav):
+        pytest.skip("bundled reference capture not available")
+    env = _tpu_env()
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "dumpvdl2_tpu", "--iq-file", wav,
+         "--sample-format", "S16_LE", "--extended-header"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert out.returncode == 0, out.stderr[-4000:]
+    pat = re.compile("20 2d 52 41 20 42 52 20 4f 56 43 30 30 35 0a"
+                     "|20 53 4c 50 31 33 35 0a")
+    matches = [ln for ln in out.stdout.splitlines() if pat.search(ln)]
+    assert len(matches) == 2
+
+
 def test_process_block_tpu_smoke():
     """The fused DSP step (Pallas enabled) compiles and runs on TPU."""
     tpu_required()
