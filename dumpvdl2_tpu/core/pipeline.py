@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import scipy.signal
 
+from ..app.stats import stats as _stats
 from ..burst import (BurstResult, decode_burst, header_info,
                      jax_tree_to_numpy, _result_from_batch)
 from ..constants import (HEADER_LEN, MAG_LP, NF_LP, SPS, SYMBOL_RATE,
@@ -94,8 +95,7 @@ class ChannelState:
         reference's per-channel metric names (statsd.c:34-63), so
         --statsd emits the full demod/decoder funnel."""
         self.stats[counter] = self.stats.get(counter, 0) + n
-        from ..app.stats import stats
-        stats.increment_per_channel(self.freq, counter, n)
+        _stats.increment_per_channel(self.freq, counter, n)
 
 
 class VDL2Pipeline:
@@ -257,7 +257,7 @@ class VDL2Pipeline:
         # ONE coalesced device_get for all small candidate fields (per
         # fetch there is a host sync — on latency-bound links each
         # separate np.asarray costs a full roundtrip).
-        import jax
+        import jax  # deferred: keep module import light for CLI startup
         small = (cands.count, cands.det_idx, cands.sync_idx, cands.dphi,
                  cands.pherr, cands.sym_valid)
         if l2 is None:

@@ -63,6 +63,10 @@ def sync_error_metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     C, M = phases.shape
     L = M - _LOOKBACK
+    if L <= 0:
+        # block shorter than the metric's lookback: nothing detectable
+        return (jnp.full((C, M), jnp.inf, jnp.float32),
+                jnp.zeros((C, M), jnp.float32))
     # sym[i, :, n] = phase at sample (n + 150) - (15-i)*10
     sym = jnp.stack([phases[:, i * SPS: L + i * SPS]
                      for i in range(PREAMBLE_SYMS)])          # (16, C, L)
@@ -154,8 +158,11 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
         mask = mask.at[:, detect_hi:].set(False)
 
     # First K detections per channel, in time order: top-K of negated
-    # positions (scatter-free; top_k is fast on TPU).
+    # positions (scatter-free; top_k is fast on TPU).  Blocks shorter
+    # than K columns are padded so top_k stays in bounds.
     pos = jnp.where(mask, jnp.arange(M, dtype=jnp.int32), M)
+    if M < K:
+        pos = jnp.pad(pos, ((0, 0), (0, K - M)), constant_values=M)
     neg, _ = jax.lax.top_k(-pos, K)                           # (C, K)
     det_sorted = -neg                                          # ascending
     valid = det_sorted < M
