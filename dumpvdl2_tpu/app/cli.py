@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable RTL-SDR bias tee")
     gi.add_argument("--bandwidth", type=int, default=0,
                     help="tuner bandwidth in Hz (0 = auto)")
+    gi.add_argument("--mirisdr", default=None, metavar="DEVICE",
+                    help="read from a Mirics device (index or serial)")
+    gi.add_argument("--hw-type", type=int, default=0, choices=(0, 1),
+                    dest="mirisdr_hw_flavour",
+                    help="Mirics hardware variant: 0=generic, 1=SDRplay")
+    gi.add_argument("--usb-mode", type=int, default=0, choices=(0, 1),
+                    dest="mirisdr_usb_xfer_mode",
+                    help="Mirics USB transfer mode: 0=isochronous, 1=bulk")
     gi.add_argument("--soapysdr", help="read from a SoapySDR device "
                                        "(device query string)")
     gi.add_argument("--gain", type=float, default=None,
@@ -245,12 +253,19 @@ def main(argv=None) -> int:
             if args.gain is None:
                 args.gain = SDR_AUTO_GAIN
             rc = run_rtlsdr(args, decoder, _make_pipeline(args))
+        elif args.mirisdr is not None:
+            from ..io.mirics import (MIRISDR_OVERSAMPLE, SDR_AUTO_GAIN,
+                                     run_mirics)
+            args.oversample = MIRISDR_OVERSAMPLE
+            if args.gain is None:
+                args.gain = SDR_AUTO_GAIN
+            rc = run_mirics(args, decoder, _make_pipeline(args))
         elif args.soapysdr is not None:
             from ..io.sdr import run_soapysdr
             rc = run_soapysdr(args, decoder, _make_pipeline(args))
         else:
             print("error: no input specified (--iq-file, "
-                  "--raw-frames-file, --rtlsdr or --soapysdr)",
+                  "--raw-frames-file, --rtlsdr, --mirisdr or --soapysdr)",
                   file=sys.stderr)
             return 1
     except KeyboardInterrupt:
