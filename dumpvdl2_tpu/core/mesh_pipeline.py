@@ -22,9 +22,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import SPS, SYNC_THRESHOLD
-from ..dsp import demod as demod_mod
 from ..dsp.frontend import bandpass_channelize, to_planar
-from ..parallel.mesh import CHANNEL_AXIS, TIME_AXIS, make_mesh
+from ..parallel.mesh import make_mesh
 from ..parallel.sharded import (BACK_HALO, ShardedState, init_sharded_state,
                                 make_sharded_step)
 from .pipeline import DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline

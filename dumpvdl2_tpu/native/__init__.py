@@ -13,7 +13,6 @@ import hashlib
 import os
 import subprocess
 import sys
-import tempfile
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "l2host.c")

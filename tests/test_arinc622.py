@@ -1,6 +1,5 @@
 """ARINC 622 ATS unit framing + ADS-C v1 + FANS-1/A CPDLC decode tests."""
 import numpy as np
-import pytest
 
 from dumpvdl2_tpu.config import MsgFilter
 from dumpvdl2_tpu.link.crc import crc16_ccitt
@@ -8,7 +7,7 @@ from dumpvdl2_tpu.proto.acars import (MSG_DIR_AIR2GND, MSG_DIR_GND2AIR,
                                       AcarsNode)
 from dumpvdl2_tpu.proto.adsc_v1 import adsc_parse
 from dumpvdl2_tpu.proto.arinc622 import maybe_parse_arinc622
-from dumpvdl2_tpu.proto.base import JsonObj, TextOut, tree_format_json
+from dumpvdl2_tpu.proto.base import JsonObj, TextOut
 from dumpvdl2_tpu.proto.fans import cpdlc_fans_parse
 from dumpvdl2_tpu.proto.asn1.runtime import encode
 from dumpvdl2_tpu.proto.asn1.tables_fans import SCHEMA

@@ -7,7 +7,6 @@ correction counts, and frame bytes.  Runs on the CPU backend here;
 tests/test_tpu_hw.py smoke-tests the compiled TPU path.
 """
 import numpy as np
-import pytest
 
 from dumpvdl2_tpu.burst import decode_burst, decode_bursts_device
 from dumpvdl2_tpu.sim import build_burst_bits, frame_with_fcs

@@ -8,7 +8,6 @@ from dumpvdl2_tpu.parallel.multihost import (block_sharding,
                                              init_distributed,
                                              local_time_spans,
                                              make_multihost_mesh)
-from dumpvdl2_tpu.parallel.mesh import TIME_AXIS
 
 
 def test_init_distributed_noop_single_process():

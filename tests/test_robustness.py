@@ -1,6 +1,5 @@
 """Robustness: the pipeline must survive pathological inputs quietly."""
 import numpy as np
-import pytest
 
 from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
 from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
