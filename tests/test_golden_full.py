@@ -11,7 +11,9 @@ Regenerate after an intentional behavior change with:
         /root/reference/test/vdl2_model_16b_1050kHz.wav \
         --sample-format S16_LE --extended-header --utc \
         > tests/fixtures/golden_capture.txt
-    (and the json equivalent; see this file's helpers)
+    (and the json equivalent via --output decoded:json:file:path=...;
+    DELETE the old json fixture first — file outputs open in append
+    mode, mirroring the reference)
 then re-review the diff by hand.
 """
 import json
