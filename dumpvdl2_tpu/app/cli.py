@@ -78,6 +78,34 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--usb-mode", type=int, default=0, choices=(0, 1),
                     dest="mirisdr_usb_xfer_mode",
                     help="Mirics USB transfer mode: 0=isochronous, 1=bulk")
+    gi.add_argument("--sdrplay", default=None, metavar="DEVICE",
+                    help="read from an SDRPlay RSP device via the "
+                         "legacy API v2 (index or serial)")
+    gi.add_argument("--sdrplay3", default=None, metavar="DEVICE",
+                    help="read from an SDRPlay RSP device via the "
+                         "sdrplay_api service v3 (serial or index)")
+    gi.add_argument("--gr", type=int, default=None,
+                    help="SDRPlay v2 system gain reduction in dB, "
+                         "positive (omit for auto gain)")
+    gi.add_argument("--ifgr", type=int, default=None,
+                    help="SDRPlay v3 IF gain reduction in dB, positive "
+                         "(omit for auto gain)")
+    gi.add_argument("--lna-state", type=int, default=None,
+                    help="SDRPlay v3 LNA state, non-negative; higher "
+                         "state = higher gain reduction")
+    gi.add_argument("--agc", type=int, default=0,
+                    help="SDRPlay auto gain set point in dBFS, negative "
+                         "(default: -30)")
+    gi.add_argument("--biast", type=int, default=0, choices=(0, 1),
+                    help="SDRPlay RSP2/1a/duo/dx Bias-T control")
+    gi.add_argument("--notch-filter", type=int, default=0,
+                    choices=(0, 1),
+                    help="SDRPlay AM/FM/bcast notch filter control")
+    gi.add_argument("--dab-notch-filter", type=int, default=0,
+                    choices=(0, 1),
+                    help="SDRPlay RSP1a/duo/dx DAB notch filter control")
+    gi.add_argument("--tuner", type=int, default=1, choices=(1, 2),
+                    help="SDRPlay RSPduo tuner selection (default: 1)")
     gi.add_argument("--soapysdr", help="read from a SoapySDR device "
                                        "(device query string)")
     gi.add_argument("--gain", type=float, default=None,
@@ -260,12 +288,21 @@ def main(argv=None) -> int:
             if args.gain is None:
                 args.gain = SDR_AUTO_GAIN
             rc = run_mirics(args, decoder, _make_pipeline(args))
+        elif args.sdrplay is not None:
+            from ..io.sdrplay import SDRPLAY_OVERSAMPLE, run_sdrplay
+            args.oversample = SDRPLAY_OVERSAMPLE
+            rc = run_sdrplay(args, decoder, _make_pipeline(args))
+        elif args.sdrplay3 is not None:
+            from ..io.sdrplay3 import SDRPLAY3_OVERSAMPLE, run_sdrplay3
+            args.oversample = SDRPLAY3_OVERSAMPLE
+            rc = run_sdrplay3(args, decoder, _make_pipeline(args))
         elif args.soapysdr is not None:
             from ..io.sdr import run_soapysdr
             rc = run_soapysdr(args, decoder, _make_pipeline(args))
         else:
             print("error: no input specified (--iq-file, "
-                  "--raw-frames-file, --rtlsdr, --mirisdr or --soapysdr)",
+                  "--raw-frames-file, --rtlsdr, --mirisdr, --sdrplay, "
+                  "--sdrplay3 or --soapysdr)",
                   file=sys.stderr)
             return 1
     except KeyboardInterrupt:
