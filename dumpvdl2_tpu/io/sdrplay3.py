@@ -425,7 +425,9 @@ def run_sdrplay3(args, decoder, pipeline) -> int:
             print(f"sdrplay_api_ApiVersion failed: {_errstr(lib, err)}",
                   file=sys.stderr)
             return 1
-        if ver.value < 3.08:
+        # ver is a C float: 3.08 stores as ~3.0799999, so a plain
+        # `< 3.08` double compare would reject the minimum version itself.
+        if round(ver.value, 2) < 3.08:
             print(f"SDRplay service version {ver.value:.2f} is older "
                   "than the 3.08 ABI this driver binds", file=sys.stderr)
             return 1
@@ -523,8 +525,11 @@ def run_sdrplay3(args, decoder, pipeline) -> int:
                 debug_print(D_SDR, "sdrplay_api event %d (tuner %d)",
                             event_id, tuner)
 
+        # Tuner B stream stays disconnected (reference sdrplay3.c:462
+        # passes NULL): wiring it to the same queue would interleave two
+        # tuners' samples into one IQ stream.
         callbacks = _CallbackFnsT(_STREAM_CB(_on_stream),
-                                  _STREAM_CB(_on_stream),
+                                  ctypes.cast(None, _STREAM_CB),
                                   _EVENT_CB(_on_event))
         err = lib.sdrplay_api_Init(device.dev, ctypes.byref(callbacks),
                                    None)

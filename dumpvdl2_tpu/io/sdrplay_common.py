@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import sys
+import threading
 
 import numpy as np
 
@@ -28,26 +29,37 @@ class StreamBridge:
     discipline).  ``blocks()`` yields complex64 arrays until ``stop()``.
     """
 
-    def __init__(self, maxsize: int = 64) -> None:
-        self._q: queue.Queue = queue.Queue(maxsize=maxsize)
+    def __init__(self, max_pairs: int = 8_400_000) -> None:
+        # Capacity is bounded by buffered IQ *pairs*, not vendor packets:
+        # one packet is only ~250-500 pairs (~0.2 ms at 2.1 Msps), so a
+        # packet-count bound gives milliseconds of slack while the
+        # reference's 15x512k-short ring holds ~1.8 s (sdrplay3.c:54-113).
+        # Default 8.4M pairs = 4 s at 2.1 Msps, enough to ride out the
+        # first-block JIT compilation stall without dropping samples.
+        self._q: queue.Queue = queue.Queue()
+        self._max_pairs = max_pairs
+        self._buffered_pairs = 0
+        self._lock = threading.Lock()
         self._stopped = False
         self.overflows = 0
 
     def push(self, xi, xq, n: int) -> None:
         if n <= 0 or self._stopped:
             return
+        with self._lock:
+            if self._buffered_pairs + n > self._max_pairs:
+                self.overflows += 1
+                if self.overflows % 1000 == 1:
+                    print("sdrplay: sample queue overflow, dropping samples",
+                          file=sys.stderr)
+                return
+            self._buffered_pairs += n
         i = np.ctypeslib.as_array(xi, shape=(n,))
         q = np.ctypeslib.as_array(xq, shape=(n,))
         iq = np.empty(2 * n, dtype=np.int16)
         iq[0::2] = i
         iq[1::2] = q
-        try:
-            self._q.put_nowait(iq)
-        except queue.Full:
-            self.overflows += 1
-            if self.overflows % 100 == 1:
-                print("sdrplay: sample queue overflow, dropping samples",
-                      file=sys.stderr)
+        self._q.put_nowait(iq)
 
     def stop(self) -> None:
         self._stopped = True
@@ -67,6 +79,8 @@ class StreamBridge:
                 continue
             if item is None:
                 break
+            with self._lock:
+                self._buffered_pairs -= item.size // 2
             parts.append(item)
             have += item.size // 2
             if have >= min_samples:

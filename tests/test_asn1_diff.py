@@ -1,12 +1,15 @@
 """Differential UPER test vs the reference's asn1c-generated codec.
 
-Requires the test-only shared library built by tools/diff_asn1_ref.py
-(see its docstring).  Skipped when the library is absent, so the suite
-still runs without the reference tree.
+The test-only oracle library (tools/build_asn1ref.sh) is built on
+demand here — same pattern as dumpvdl2_tpu/native/__init__.py — so a
+default ``pytest`` run executes all differential cases.  Skipped only
+when the reference tree or a C toolchain is absent.
 """
 import ctypes
 import os
 import random
+import shutil
+import subprocess
 
 import pytest
 
@@ -28,8 +31,17 @@ ROOTS = [
 ]
 
 
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+
 @pytest.fixture(scope="module")
 def reflib():
+    if not os.path.exists(LIB):
+        build = os.path.join(TOOLS, "build_asn1ref.sh")
+        if (os.path.isdir("/root/reference/src/asn1")
+                and shutil.which("gcc")):
+            subprocess.run(["sh", build], capture_output=True, timeout=600)
     if not os.path.exists(LIB):
         pytest.skip("reference asn1 differential lib not built")
     lib = ctypes.CDLL(LIB, mode=ctypes.RTLD_GLOBAL)
