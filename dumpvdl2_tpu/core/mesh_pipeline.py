@@ -58,8 +58,9 @@ class MeshPipeline(VDL2Pipeline):
         self._unit = tn * oversample        # block length divisibility
         self.global_raw = 0                 # absolute index of next input
         # rolling raw tail for deferred-burst re-reads + EOF flush
-        self._tail_keep = (DEFAULT_HALO + _DEFER_MARGIN) * oversample \
+        self._tail_base_keep = (DEFAULT_HALO + _DEFER_MARGIN) * oversample \
             + self.taps.size
+        self._tail_keep = self._tail_base_keep
         self._tail = np.zeros((2, 0), np.float32)
         self._prepend_from: int | None = None   # absolute raw index
 
@@ -117,14 +118,35 @@ class MeshPipeline(VDL2Pipeline):
             # to the true stream position for the next (normal) block.
             self.state = self._with_n0(self.state, self.global_raw)
 
+        l2 = self._launch_l2_flat(cands)      # dispatch before any fetch
+        override_info = None
+        if override_state:
+            prepend_dec = prepend.shape[1] // self.oversample
+            Ml = block.shape[1] // self.Tn // self.oversample
+            override_info = (prepend_dec, Ml)
+        # Double-buffered drain (see VDL2Pipeline.feed_planar): the
+        # PREVIOUS block's candidates are fetched only now that this
+        # block's sharded step is in flight.  A deferral discovered one
+        # block late re-reads from the raw tail, which _push_tail sizes
+        # to retain one extra block for exactly this case.
+        frames = self._drain_pending()
+        self._pending = (cands, l2, pwr3, base_raw, override_info)
+        if eof:
+            frames.extend(self.finish())
+        return frames
+
+    def _drain_pending(self):
+        if self._pending is None:
+            return []
+        cands, l2, pwr3, base_raw, override_info = self._pending
+        self._pending = None
         pwr3_np = np.asarray(pwr3)
         nf_base = base_raw // self.oversample
-        if override_state:
+        if override_info is not None:
             # drop tracker entries that re-cover prepended samples: the
             # single-device tracker saw them already (stat parity)
-            prepend_dec = prepend.shape[1] // self.oversample
+            prepend_dec, Ml = override_info
             X = pwr3_np.shape[1] // self.Tn
-            Ml = block.shape[1] // self.Tn // self.oversample
             j = np.arange(pwr3_np.shape[1])
             s, jj = np.divmod(j, X)
             pwr3_np = pwr3_np[:, s * Ml + 3 * jj >= prepend_dec]
@@ -132,7 +154,6 @@ class MeshPipeline(VDL2Pipeline):
         # columns ~ every-3rd fresh decimated sample from nf_base
         # (per-shard restarts misalign by <= 2 samples when Ml % 3 != 0)
         self._stash_noise_block(pwr3_np, nf_base)
-        l2 = self._launch_l2_flat(cands)      # dispatch before any fetch
         merged, l2_map = self._merge_candidates(
             cands, skip_big=l2 is not None)
         base_dec = base_raw // self.oversample
@@ -143,8 +164,6 @@ class MeshPipeline(VDL2Pipeline):
             self._prepend_from = max(
                 0, (self.last_deferred_min - _DEFER_MARGIN)
                 * self.oversample)
-        if eof:
-            frames.extend(self.finish())
         return frames
 
     # ----------------------------------------------------------- flush
@@ -156,16 +175,22 @@ class MeshPipeline(VDL2Pipeline):
         samples; candidates resolve with the same host logic as the
         single-device finish().
         """
+        frames0 = self._drain_pending()
         if self._residual.size:
             extra = to_planar(self._residual)
             self._residual = np.zeros(0, np.complex64)
             self.global_raw += extra.shape[1]
             self._push_tail(extra)
-        take = min(self._tail.shape[1],
-                   (DEFAULT_HALO + _DEFER_MARGIN) * self.oversample
-                   + (self.taps.size - 1))
+        need = (DEFAULT_HALO + _DEFER_MARGIN) * self.oversample \
+            + (self.taps.size - 1)
+        if self._prepend_from is not None:
+            # a deferral discovered while draining the in-flight block
+            # can lie further back than the default window
+            need = max(need, self.global_raw - self._prepend_from
+                       + (self.taps.size - 1))
+        take = min(self._tail.shape[1], need)
         if take < self.taps.size:
-            return []
+            return frames0
         tail = self._tail[:, self._tail.shape[1] - take:]
         start_raw = self.global_raw - take
         usable = (take // self.oversample) * self.oversample
@@ -180,13 +205,19 @@ class MeshPipeline(VDL2Pipeline):
         cands = self._demod_fn(np.asarray(dec), SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
         l2 = self._launch_l2(cands)
-        return self._process_candidates(
+        return frames0 + self._process_candidates(
             cands, start_raw // self.oversample, eof=True, l2=l2)
 
     # --------------------------------------------------------- helpers
     def _push_tail(self, planar: np.ndarray) -> None:
         if planar.shape[1] == 0:
             return
+        # With the double-buffered drain, a deferral from the in-flight
+        # block is discovered one block late — retain one extra block
+        # (the largest seen) on top of the burst+margin window so the
+        # prepend re-read always finds its samples.
+        self._tail_keep = max(self._tail_keep,
+                              self._tail_base_keep + planar.shape[1])
         self._tail = np.concatenate([self._tail, planar], axis=1)
         if self._tail.shape[1] > self._tail_keep:
             self._tail = self._tail[:, self._tail.shape[1]

@@ -88,6 +88,12 @@ class ChannelState:
     mag_nf: float = 2.0
     nfcnt: int = 0
     deferred_at: int | None = None   # deferred burst position this block
+    # Noise-tracker hold: while a deferred burst awaits decision, later
+    # magnitude columns are saved here and replayed once the burst
+    # resolves (the reference's tracker would still be paused in
+    # DM_SYNC at that point, demod.c:229-250).
+    nf_hold: int | None = None
+    nf_saved: list = field(default_factory=list)
     stats: dict = field(default_factory=dict)
 
     def bump(self, counter: str, n: int = 1) -> None:
@@ -124,6 +130,13 @@ class VDL2Pipeline:
         self._ema_zi = np.zeros((C, 1))
         self._residual = np.zeros(0, dtype=np.complex64)
         self.use_device_l2 = _resolve_device_l2()
+        # Double-buffered host loop: block N's device step is dispatched
+        # BEFORE block N-1's candidates are fetched/processed, so the
+        # host<->device roundtrip of the fetch overlaps the next block's
+        # device compute (reference analog: producer/demod thread overlap
+        # across the barrier pair, dumpvdl2.c:117-135).
+        self._pending = None
+        self._last_proc_base = None
 
     def _launch_l2(self, cands):
         """Dispatch the batched device L2 decode for a candidate set.
@@ -185,12 +198,29 @@ class VDL2Pipeline:
                 self._nf_col[c] = min(
                     ncols, (skip_to - self._nf_base + 2) // 3)
                 continue
-            # contiguous trackable run: up to busy/upto boundary
+            # a deferred burst is still undecided: save, don't track
+            if ch.nf_hold is not None and idx >= ch.nf_hold:
+                run_end = min(ncols, (upto - self._nf_base + 2) // 3)
+                jj = np.arange(j, run_end)
+                ch.nf_saved.append((self._nf_base + 3 * jj,
+                                    mags[c, j:run_end].copy()))
+                self._nf_col[c] = run_end
+                continue
+            # contiguous trackable run: up to busy/hold/upto boundary
             end_idx = upto
+            if ch.nf_hold is not None:
+                end_idx = min(end_idx, ch.nf_hold)
             run_end = min(ncols, (end_idx - self._nf_base + 2) // 3)
             seg = mags[c, j:run_end]
             self._nf_col[c] = run_end
             self._track_channel(ch, seg)
+
+    def _release_nf_hold(self, ch: ChannelState) -> None:
+        """A deferred burst was decided: replay held magnitude columns
+        through the tracker, skipping the (now known) busy window."""
+        saved, ch.nf_saved, ch.nf_hold = ch.nf_saved, [], None
+        for idxs, mags in saved:
+            self._track_channel(ch, mags[idxs >= ch.busy_until])
 
     def _track_channel(self, ch: ChannelState, seg: np.ndarray) -> None:
         """EMA + per-1000 noise-floor update (demod.c:238-243)."""
@@ -224,6 +254,19 @@ class VDL2Pipeline:
             upto = end if ch.deferred_at is None \
                 else min(end, ch.deferred_at)
             self._advance_noise_floor(c, upto)
+            if ch.deferred_at is not None:
+                # burst pending across blocks: pause the tracker here
+                # until _process_candidates decides it (stash columns
+                # past this point were discarded by the upto bound)
+                ch.nf_hold = ch.deferred_at if ch.nf_hold is None \
+                    else min(ch.nf_hold, ch.deferred_at)
+            elif (ch.nf_hold is not None
+                  and self._last_proc_base is not None
+                  and self._last_proc_base <= ch.nf_hold):
+                # this block re-covered the held position but the
+                # candidate neither resolved nor re-deferred: it
+                # vanished — release the held columns
+                self._release_nf_hold(ch)
             ch.deferred_at = None
         self._nf_mags = None
 
@@ -247,12 +290,20 @@ class VDL2Pipeline:
         def l2_frame_pwr(c: int, k: int) -> float:
             return float(l2_np["frame_pwr"][l2_index(c, k)])
 
+        self._last_proc_base = base
+
         def defer(det_g: int, ch: ChannelState) -> None:
             if self.last_deferred_min is None \
                     or det_g < self.last_deferred_min:
                 self.last_deferred_min = det_g
             if ch.deferred_at is None or det_g < ch.deferred_at:
                 ch.deferred_at = det_g
+
+        def decided(ch: ChannelState, det_g: int) -> None:
+            # A candidate at/after a tracker hold point was decided:
+            # replay held magnitude columns (busy window now known).
+            if ch.nf_hold is not None and det_g >= ch.nf_hold:
+                self._release_nf_hold(ch)
 
         # ONE coalesced device_get for all small candidate fields (per
         # fetch there is a host sync — on latency-bound links each
@@ -287,6 +338,7 @@ class VDL2Pipeline:
                 if nsyms_avail < (HEADER_LEN + 2) // 3 + 1:
                     if eof:
                         ch.next_det_min = det_g + 1
+                        decided(ch, det_g)
                         continue
                     ch.next_det_min = det_g   # retry next block
                     defer(det_g, ch)
@@ -316,6 +368,7 @@ class VDL2Pipeline:
                     self._advance_noise_floor(c, sp_g)
                     ch.busy_until = sp_g + 9 * SPS
                     ch.next_det_min = det_g + 1
+                    decided(ch, det_g)
                     continue
                 total_syms = -(-hdr_bits_consumed // 3)
                 if nsyms_avail < total_syms:
@@ -325,11 +378,13 @@ class VDL2Pipeline:
                         break
                     ch.next_det_min = det_g + 1   # truncated at EOF: lost
                     ch.bump("decoder.errors.eof_truncated")
+                    decided(ch, det_g)
                     continue
                 dphi_ck = float(dphi[c, k])
                 ppm = SYMBOL_RATE * dphi_ck / (2.0 * math.pi * ch.freq) * 1e6
                 if self.max_ppm and abs(ppm) > self.max_ppm:
                     ch.next_det_min = det_g + 1
+                    decided(ch, det_g)
                     continue
                 if full is not None:
                     res = full
@@ -340,6 +395,7 @@ class VDL2Pipeline:
                 self._advance_noise_floor(c, sp_g)
                 ch.busy_until = sp_g + total_syms * SPS
                 ch.next_det_min = det_g + 1
+                decided(ch, det_g)
                 debug_print(D_BURST,
                             "ch %d: burst ok=%s reason=%s datalen=%d "
                             "blocks=%d fec_corr=%d frames=%d",
@@ -412,25 +468,41 @@ class VDL2Pipeline:
         self.carry = new_carry
         self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
         l2 = self._launch_l2(cands)
-        self._stash_noise_block(np.asarray(pwr3), self.hist_base + H)
 
         base = self.hist_base
-        frames = self._process_candidates(cands, base, eof=False, l2=l2)
-        self._finish_noise_block()
-
         M_total = H + iq.shape[1] // self.oversample
         keep = min(DEFAULT_HALO, M_total)
         self.hist = new_hist
         self.hist_base = base + M_total - keep
+
+        # Drain the PREVIOUS block's results only now that this block's
+        # device work is in flight.  Deferred candidates are safe: the
+        # carried halo always retains a full max-length burst, so a
+        # deferral discovered one block late is still re-detected.
+        frames = self._drain_pending()
+        self._pending = (cands, l2, pwr3, base, base + H)
         if eof:
             frames.extend(self.finish())
         return frames
 
+    def _drain_pending(self) -> list[DecodedFrame]:
+        """Fetch + host-process the oldest in-flight block, if any."""
+        if self._pending is None:
+            return []
+        cands, l2, pwr3, base, nf_base = self._pending
+        self._pending = None
+        self._stash_noise_block(np.asarray(pwr3), nf_base)
+        frames = self._process_candidates(cands, base, eof=False, l2=l2)
+        self._finish_noise_block()
+        return frames
+
     def finish(self) -> list[DecodedFrame]:
         """Flush: resolve deferred candidates with the data we have."""
+        frames = self._drain_pending()
         if self.hist.shape[2] == 0:
-            return []
+            return frames
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
-        return self._process_candidates(cands, self.hist_base, eof=True,
-                                        l2=self._launch_l2(cands))
+        frames.extend(self._process_candidates(
+            cands, self.hist_base, eof=True, l2=self._launch_l2(cands)))
+        return frames
