@@ -285,6 +285,8 @@ def parse_acars(buf: bytes, msg_type: int, reasm_ctx=None,
         if child is None and node.txt:
             # other ACARS applications: media advisory / OHMA / MIAM
             from .acars_apps import decode_acars_apps
-            child = decode_acars_apps(node.label, node.txt)
+            child = decode_acars_apps(node.label, node.txt, reg=node.reg,
+                                      reasm_ctx=reasm_ctx,
+                                      rx_time=rx_time)
         node.next = child
     return node, msg_type

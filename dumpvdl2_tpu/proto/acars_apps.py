@@ -1,5 +1,5 @@
 """ACARS application decoders beyond ARINC 622: media advisory, OHMA,
-MIAM detection.
+and dispatch into the MIAM decoder (proto/miam.py).
 
 The reference gets these from libacars' la_acars_decode_apps
 (reference src/acars.c:108 via la_acars_parse_and_reassemble).  Status
@@ -11,11 +11,9 @@ of each here:
 * OHMA (Boeing OnHealth Management, label H1 "OHMA" prefix): fully
   decoded — base64 -> zlib DEFLATE -> JSON, with JWS envelope
   unwrapping when present.
-* MIAM (ARINC 841, label MA): DETECTION ONLY.  The MIAM CORE PDU wire
-  format (custom character armoring + bit-packed header) is specified
-  in ARINC 841, which is not available in this environment; rather
-  than guess, frames are labelled and carried as raw data.  The ACARS
-  CF frame *type* character is classified.
+* MIAM (ARINC 841, label MA): fully decoded by proto/miam.py — all 7
+  frame types, file-transfer reassembly, CORE v1/v2 PDU decode
+  (armoring, DEFLATE, CRC-32).  See miam.py's provenance note.
 """
 from __future__ import annotations
 
@@ -176,65 +174,21 @@ def ohma_parse(txt: str) -> Optional[OhmaNode]:
     return OhmaNode(doc)
 
 
-# --------------------------------------------------------------------- MIAM
-
-_MIAM_FRAME_TYPES = {
-    "T": "Single Transfer",
-    "F": "File Transfer Request",
-    "K": "File Transfer Accept",
-    "S": "File Segment",
-    "A": "File Transfer Abort",
-    "Y": "XOFF Indication",
-    "X": "XON Indication",
-}
-
-
-class MiamNode(ProtoNode):
-    """MIAM (ARINC 841) frame — detected and classified, not decoded.
-
-    The CORE PDU armoring/bit layout needs the ARINC 841 spec, which is
-    unavailable here; the payload is preserved verbatim instead of
-    being guessed at.
-    """
-    json_key = "miam"
-
-    def __init__(self, frame_type: str, payload: str) -> None:
-        super().__init__()
-        self.frame_type = frame_type
-        self.payload = payload
-
-    def format_text(self, out: TextOut, indent: int) -> None:
-        name = _MIAM_FRAME_TYPES.get(self.frame_type,
-                                     f"unknown ({self.frame_type!r})")
-        out.iline(indent, f"MIAM frame: {name}")
-        out.iline(indent + 1, "-- CORE PDU decode not implemented")
-        if self.payload:
-            out.iline(indent + 1, f"Data: {self.payload[:256]}")
-
-    def format_json(self, obj: JsonObj) -> None:
-        obj["frame_type"] = _MIAM_FRAME_TYPES.get(
-            self.frame_type, self.frame_type)
-        obj["decoded"] = False
-        obj["data"] = self.payload[:1024]
-
-
-def miam_parse(txt: str) -> Optional[MiamNode]:
-    if not txt:
-        return None
-    return MiamNode(txt[0], txt[1:])
-
-
 # ---------------------------------------------------------------- dispatch
 
 
-def decode_acars_apps(label: str, txt: str) -> Optional[ProtoNode]:
+def decode_acars_apps(label: str, txt: str, reg: str = "",
+                      reasm_ctx=None,
+                      rx_time: float = 0.0) -> Optional[ProtoNode]:
     """Label-keyed application dispatch (reference: libacars
     la_acars_decode_apps order — ARINC 622 is handled separately in
     proto/arinc622.py)."""
     if label == "SA":
         return media_adv_parse(txt)
     if label == "MA":
-        return miam_parse(txt)
+        from .miam import miam_parse
+        return miam_parse(txt, reg=reg, reasm_ctx=reasm_ctx,
+                          rx_time=rx_time)
     if txt.startswith("OHMA"):
         return ohma_parse(txt)
     return None

@@ -1,11 +1,10 @@
-"""Media advisory, OHMA, and MIAM-detection ACARS application tests."""
+"""Media advisory, OHMA, and MIAM-dispatch ACARS application tests."""
 import base64
 import json
 import zlib
 
 from dumpvdl2_tpu.proto.acars_apps import (decode_acars_apps,
-                                           media_adv_parse, miam_parse,
-                                           ohma_parse)
+                                           media_adv_parse, ohma_parse)
 from dumpvdl2_tpu.proto.base import JsonObj, TextOut
 
 
@@ -62,20 +61,26 @@ def test_ohma_bad_payload_graceful():
     assert node.error or node.doc is None
 
 
-def test_miam_detection_is_honest():
-    node = miam_parse("T1XYZ...")
-    assert node is not None
+def test_miam_is_fully_decoded_now():
+    """MIAM single transfers decode end to end (details in test_miam.py)."""
+    from dumpvdl2_tpu.proto.miam import (CorePdu, ENC_ISO5,
+                                         encode_single_transfer)
+    pdu = CorePdu(version=1, app_id="H1", encoding=ENC_ISO5,
+                  body=b"hello miam")
+    node = decode_acars_apps("MA", encode_single_transfer(pdu))
     txt = _text(node)
     assert "Single Transfer" in txt
-    assert "not implemented" in txt
+    core = node.next
+    assert core is not None and core.pdu.crc_ok
+    assert core.pdu.body == b"hello miam"
     obj = JsonObj()
     node.format_json(obj)
-    assert obj["decoded"] is False
+    assert obj["decoded"] is True
 
 
 def test_dispatch_by_label():
     assert decode_acars_apps("SA", "0EV121314/S").json_key == "media_adv"
-    assert decode_acars_apps("MA", "T123").json_key == "miam"
+    assert decode_acars_apps("MA", "Y03").json_key == "miam"
     assert decode_acars_apps("H1", "plaintext") is None
     doc = base64.b64encode(zlib.compress(b'{"a":1}')).decode()
     assert decode_acars_apps("H1", "OHMA" + doc).json_key == "ohma"
