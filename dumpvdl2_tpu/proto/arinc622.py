@@ -8,18 +8,23 @@ itself until v1.5.0, doc/NEWS.md:238-241).  Here:
 
 * the IMI table sets the msg_type filter bits,
 * the 16-bit ATS-unit CRC is actually computed (CRC-16-CCITT over the
-  unit starting after the '/'; both the HDLC-style complemented and the
-  plain residual conventions are accepted and the matching convention
-  recorded, since ARINC 622 implementations differ),
-* ADS/DIS payloads decode via proto/adsc_v1.py, AT1 via proto/fans.py,
-  and the connection-management IMIs (CR1/CC1/DR1) render as labelled
-  hex until their payload formats are modelled.
+  unit starting after the '/').  The canonical convention — init
+  0xFFFF, little-endian byte order, matching the one libacars
+  enforces — is tried FIRST; the other conventions seen from deployed
+  ARINC 622 implementations are accepted as a fallback, recorded in
+  the output, and counted in the ``arinc622.crc.noncanonical`` metric
+  so a station can see when its traffic diverges,
+* ADS/DIS payloads decode via proto/adsc_v1.py; AT1 and the
+  connection-management IMIs CR1/CC1/DR1 decode as FANS-1/A CPDLC
+  messages via proto/fans.py (libacars routes all four through the
+  same CPDLC decoder).
 """
 from __future__ import annotations
 
 import re
 from typing import Optional, Tuple
 
+from ..app.stats import stats
 from ..config import MsgFilter
 from ..link.crc import crc16_ccitt
 from .base import JsonObj, ProtoNode, TextOut, hex_str
@@ -41,26 +46,35 @@ _ATS_RE = re.compile(rb"/([A-Z0-9]{3,8})\.(AT1|CR1|CC1|DR1|ADS|DIS)")
 _REG_RE = re.compile(rb"[. ]?[A-Z0-9-]{2,7} ?")
 
 
+CANONICAL_CRC = "ccitt_ffff_le"
+
+
 def _crc_check(unit: bytes) -> tuple[bool, str]:
     """Verify the trailing 16-bit CRC of an ATS unit.
 
     ``unit`` = bytes from the character after '/' through the CRC.
-    Tries the known conventions; returns (ok, convention_name).
+    Conventions are tried in a fixed order with the canonical one
+    (init 0xFFFF, LE — what libacars enforces) first, so it always
+    wins ties; a non-canonical match is counted via statsd.
     """
     if len(unit) < 3:
         return False, ""
     body, stored = unit[:-2], unit[-2:]
+    candidates = []
     for init, name in ((0xFFFF, "ccitt_ffff"), (0x0000, "ccitt_0000")):
         crc = crc16_ccitt(body, init)
         inv = crc ^ 0xFFFF
-        cands = {
-            bytes((crc & 0xFF, crc >> 8)): name + "_le",
-            bytes((crc >> 8, crc & 0xFF)): name + "_be",
-            bytes((inv & 0xFF, inv >> 8)): name + "_inv_le",
-            bytes((inv >> 8, inv & 0xFF)): name + "_inv_be",
-        }
-        if stored in cands:
-            return True, cands[stored]
+        candidates += [
+            (bytes((crc & 0xFF, crc >> 8)), name + "_le"),
+            (bytes((crc >> 8, crc & 0xFF)), name + "_be"),
+            (bytes((inv & 0xFF, inv >> 8)), name + "_inv_le"),
+            (bytes((inv >> 8, inv & 0xFF)), name + "_inv_be"),
+        ]
+    for want, name in candidates:
+        if stored == want:
+            if name != CANONICAL_CRC:
+                stats.increment("arinc622.crc.noncanonical")
+            return True, name
     return False, ""
 
 
@@ -153,7 +167,9 @@ def maybe_parse_arinc622(acars_node, msg_type: int
         if imi in ("ADS", "DIS"):
             from .adsc_v1 import adsc_parse
             node.next = adsc_parse(payload, downlink=downlink)
-        elif imi == "AT1":
+        elif imi in ("AT1", "CR1", "CC1", "DR1"):
+            # libacars decodes the connection-management units with the
+            # same FANS CPDLC codec as AT1 (la_arinc_parse imi table).
             from .fans import cpdlc_fans_parse
             node.next = cpdlc_fans_parse(payload, uplink=not downlink)
     return node, msg_type

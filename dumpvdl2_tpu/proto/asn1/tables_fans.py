@@ -14,12 +14,18 @@ Scope and honesty:
   reference numbers, timestamp), the 1..5-element message data list,
   and the non-extensible element-id CHOICEs (183 uplink / 81 downlink
   alternatives -> 8-/7-bit indices).
-* Element ARGUMENTS are decoded only for types whose PER encoding is
-  structurally certain (NULL, free text, time, beacon code, facility
-  designation, degrees); all other argument payloads are captured
-  verbatim as an unparsed bit tail (kind "rest") and rendered as hex —
-  never guessed.  Extending an element from "rest" to a typed argument
-  is a local change to this table.
+* Element ARGUMENTS are typed for every element except uM178
+  ("reserved", kept as a raw-bits tail): altitudes, speeds, positions
+  (fix/navaid/airport/lat-lon/place-bearing-distance), times, distance
+  offsets + directions, route clearances, procedure names, frequencies,
+  ICAO unit names, altimeters, vertical rates, position reports,
+  predeparture clearances, and the composite per-element sequences.
+  The CHOICE shapes and field inventories follow DO-219's published
+  message set; integer ranges/scales are recorded per type (and in
+  fans.py's display-unit table) and are this framework's documented
+  profile — encode and decode share these tables, so the format is
+  round-trip-consistent and any future correction is a local,
+  test-visible change here.
 """
 from __future__ import annotations
 
@@ -33,6 +39,56 @@ _TIME = "FANSTime"
 _BCN = "FANSBeaconCode"
 _FAC = "FANSIcaoFacilityDesignation"
 _DEG = "FANSDegrees"
+_ALT = "FANSAltitude"
+_SPD = "FANSSpeed"
+_POS = "FANSPosition"
+_FREQ = "FANSFrequency"
+_PROC = "FANSProcedureName"
+_RC = "FANSRouteClearance"
+_VR = "FANSVerticalRate"
+_ALTIM = "FANSAltimeter"
+_ATIS = "FANSATISCode"
+_ERR = "FANSErrorInformation"
+_DODIR = "FANSDistanceOffsetDirection"
+_DIRDEG = "FANSDirectionDegrees"
+_HOLD = "FANSHoldClearance"
+_PDC = "FANSPredepartureClearance"
+_CLRTYPE = "FANSClearanceType"
+_VERNUM = "FANSVersionNumber"
+_FUEL = "FANSRemainingFuelSouls"
+_POSREPORT = "FANSPositionReport"
+_TOFROMPOS = "FANSToFromPosition"
+_TIMEDISTTOFROMPOS = "FANSTimeDistanceToFromPosition"
+# composite (a, b, ...) argument sequences
+_ALT2 = "FANSAltitudeAltitude"
+_SPD2 = "FANSSpeedSpeed"
+_POS2 = "FANSPositionPosition"
+_TIMEALT = "FANSTimeAltitude"
+_ALTTIME = "FANSAltitudeTime"
+_POSALT = "FANSPositionAltitude"
+_ALTPOS = "FANSAltitudePosition"
+_ALTSPD = "FANSAltitudeSpeed"
+_TIMESPD = "FANSTimeSpeed"
+_POSSPD = "FANSPositionSpeed"
+_ALTSPD2 = "FANSAltitudeSpeedSpeed"
+_TIMESPD2 = "FANSTimeSpeedSpeed"
+_POSSPD2 = "FANSPositionSpeedSpeed"
+_POSTIME = "FANSPositionTime"
+_TIMEPOS = "FANSTimePosition"
+_POSTIME2 = "FANSPositionTimeTime"
+_POSALT2 = "FANSPositionAltitudeAltitude"
+_POSTIMEALT = "FANSPositionTimeAltitude"
+_POSALTSPD = "FANSPositionAltitudeSpeed"
+_TIMEPOSALT = "FANSTimePositionAltitude"
+_TIMEPOSALTSPD = "FANSTimePositionAltitudeSpeed"
+_POSDODIR = "FANSPositionDistanceOffsetDirection"
+_TIMEDODIR = "FANSTimeDistanceOffsetDirection"
+_POSRC = "FANSPositionRouteClearance"
+_POSPROC = "FANSPositionProcedureName"
+_POSDEG = "FANSPositionDegrees"
+_UNITFREQ = "FANSIcaoUnitNameFrequency"
+_POSUNITFREQ = "FANSPositionIcaoUnitNameFrequency"
+_TIMEUNITFREQ = "FANSTimeIcaoUnitNameFrequency"
 
 # ---------------------------------------------------------------------
 # Uplink message elements uM0..uM182 (183 alternatives, no extension).
@@ -44,135 +100,135 @@ UPLINK_MSGS = {
     3: ("ROGER", _NULL),
     4: ("AFFIRM", _NULL),
     5: ("NEGATIVE", _NULL),
-    6: ("EXPECT [altitude]", _REST),
+    6: ("EXPECT [altitude]", _ALT),
     7: ("EXPECT CLIMB AT [time]", _TIME),
-    8: ("EXPECT CLIMB AT [position]", _REST),
+    8: ("EXPECT CLIMB AT [position]", _POS),
     9: ("EXPECT DESCENT AT [time]", _TIME),
-    10: ("EXPECT DESCENT AT [position]", _REST),
+    10: ("EXPECT DESCENT AT [position]", _POS),
     11: ("EXPECT CRUISE CLIMB AT [time]", _TIME),
-    12: ("EXPECT CRUISE CLIMB AT [position]", _REST),
-    13: ("AT [time] EXPECT CLIMB TO [altitude]", _REST),
-    14: ("AT [position] EXPECT CLIMB TO [altitude]", _REST),
-    15: ("AT [time] EXPECT DESCENT TO [altitude]", _REST),
-    16: ("AT [position] EXPECT DESCENT TO [altitude]", _REST),
-    17: ("AT [time] EXPECT CRUISE CLIMB TO [altitude]", _REST),
-    18: ("AT [position] EXPECT CRUISE CLIMB TO [altitude]", _REST),
-    19: ("MAINTAIN [altitude]", _REST),
-    20: ("CLIMB TO AND MAINTAIN [altitude]", _REST),
-    21: ("AT [time] CLIMB TO AND MAINTAIN [altitude]", _REST),
-    22: ("AT [position] CLIMB TO AND MAINTAIN [altitude]", _REST),
-    23: ("DESCEND TO AND MAINTAIN [altitude]", _REST),
-    24: ("AT [time] DESCEND TO AND MAINTAIN [altitude]", _REST),
-    25: ("AT [position] DESCEND TO AND MAINTAIN [altitude]", _REST),
-    26: ("CLIMB TO REACH [altitude] BY [time]", _REST),
-    27: ("CLIMB TO REACH [altitude] BY [position]", _REST),
-    28: ("DESCEND TO REACH [altitude] BY [time]", _REST),
-    29: ("DESCEND TO REACH [altitude] BY [position]", _REST),
-    30: ("MAINTAIN BLOCK [altitude] TO [altitude]", _REST),
-    31: ("CLIMB TO AND MAINTAIN BLOCK [altitude] TO [altitude]", _REST),
-    32: ("DESCEND TO AND MAINTAIN BLOCK [altitude] TO [altitude]", _REST),
-    33: ("CRUISE [altitude]", _REST),
-    34: ("CRUISE CLIMB TO [altitude]", _REST),
-    35: ("CRUISE CLIMB ABOVE [altitude]", _REST),
-    36: ("EXPEDITE CLIMB TO [altitude]", _REST),
-    37: ("EXPEDITE DESCENT TO [altitude]", _REST),
-    38: ("IMMEDIATELY CLIMB TO [altitude]", _REST),
-    39: ("IMMEDIATELY DESCEND TO [altitude]", _REST),
-    40: ("IMMEDIATELY STOP CLIMB AT [altitude]", _REST),
-    41: ("IMMEDIATELY STOP DESCENT AT [altitude]", _REST),
-    42: ("EXPECT TO CROSS [position] AT [altitude]", _REST),
-    43: ("EXPECT TO CROSS [position] AT OR ABOVE [altitude]", _REST),
-    44: ("EXPECT TO CROSS [position] AT OR BELOW [altitude]", _REST),
-    45: ("EXPECT TO CROSS [position] AT AND MAINTAIN [altitude]", _REST),
-    46: ("CROSS [position] AT [altitude]", _REST),
-    47: ("CROSS [position] AT OR ABOVE [altitude]", _REST),
-    48: ("CROSS [position] AT OR BELOW [altitude]", _REST),
-    49: ("CROSS [position] AT AND MAINTAIN [altitude]", _REST),
-    50: ("CROSS [position] BETWEEN [altitude] AND [altitude]", _REST),
-    51: ("CROSS [position] AT [time]", _REST),
-    52: ("CROSS [position] AT OR BEFORE [time]", _REST),
-    53: ("CROSS [position] AT OR AFTER [time]", _REST),
-    54: ("CROSS [position] BETWEEN [time] AND [time]", _REST),
-    55: ("CROSS [position] AT [speed]", _REST),
-    56: ("CROSS [position] AT OR LESS THAN [speed]", _REST),
-    57: ("CROSS [position] AT OR GREATER THAN [speed]", _REST),
-    58: ("CROSS [position] AT [time] AT [altitude]", _REST),
-    59: ("CROSS [position] AT OR BEFORE [time] AT [altitude]", _REST),
-    60: ("CROSS [position] AT OR AFTER [time] AT [altitude]", _REST),
-    61: ("CROSS [position] AT AND MAINTAIN [altitude] AT [speed]", _REST),
-    62: ("AT [time] CROSS [position] AT AND MAINTAIN [altitude]", _REST),
+    12: ("EXPECT CRUISE CLIMB AT [position]", _POS),
+    13: ("AT [time] EXPECT CLIMB TO [altitude]", _TIMEALT),
+    14: ("AT [position] EXPECT CLIMB TO [altitude]", _POSALT),
+    15: ("AT [time] EXPECT DESCENT TO [altitude]", _TIMEALT),
+    16: ("AT [position] EXPECT DESCENT TO [altitude]", _POSALT),
+    17: ("AT [time] EXPECT CRUISE CLIMB TO [altitude]", _TIMEALT),
+    18: ("AT [position] EXPECT CRUISE CLIMB TO [altitude]", _POSALT),
+    19: ("MAINTAIN [altitude]", _ALT),
+    20: ("CLIMB TO AND MAINTAIN [altitude]", _ALT),
+    21: ("AT [time] CLIMB TO AND MAINTAIN [altitude]", _TIMEALT),
+    22: ("AT [position] CLIMB TO AND MAINTAIN [altitude]", _POSALT),
+    23: ("DESCEND TO AND MAINTAIN [altitude]", _ALT),
+    24: ("AT [time] DESCEND TO AND MAINTAIN [altitude]", _TIMEALT),
+    25: ("AT [position] DESCEND TO AND MAINTAIN [altitude]", _POSALT),
+    26: ("CLIMB TO REACH [altitude] BY [time]", _ALTTIME),
+    27: ("CLIMB TO REACH [altitude] BY [position]", _ALTPOS),
+    28: ("DESCEND TO REACH [altitude] BY [time]", _ALTTIME),
+    29: ("DESCEND TO REACH [altitude] BY [position]", _ALTPOS),
+    30: ("MAINTAIN BLOCK [altitude] TO [altitude]", _ALT2),
+    31: ("CLIMB TO AND MAINTAIN BLOCK [altitude] TO [altitude]", _ALT2),
+    32: ("DESCEND TO AND MAINTAIN BLOCK [altitude] TO [altitude]", _ALT2),
+    33: ("CRUISE [altitude]", _ALT),
+    34: ("CRUISE CLIMB TO [altitude]", _ALT),
+    35: ("CRUISE CLIMB ABOVE [altitude]", _ALT),
+    36: ("EXPEDITE CLIMB TO [altitude]", _ALT),
+    37: ("EXPEDITE DESCENT TO [altitude]", _ALT),
+    38: ("IMMEDIATELY CLIMB TO [altitude]", _ALT),
+    39: ("IMMEDIATELY DESCEND TO [altitude]", _ALT),
+    40: ("IMMEDIATELY STOP CLIMB AT [altitude]", _ALT),
+    41: ("IMMEDIATELY STOP DESCENT AT [altitude]", _ALT),
+    42: ("EXPECT TO CROSS [position] AT [altitude]", _POSALT),
+    43: ("EXPECT TO CROSS [position] AT OR ABOVE [altitude]", _POSALT),
+    44: ("EXPECT TO CROSS [position] AT OR BELOW [altitude]", _POSALT),
+    45: ("EXPECT TO CROSS [position] AT AND MAINTAIN [altitude]", _POSALT),
+    46: ("CROSS [position] AT [altitude]", _POSALT),
+    47: ("CROSS [position] AT OR ABOVE [altitude]", _POSALT),
+    48: ("CROSS [position] AT OR BELOW [altitude]", _POSALT),
+    49: ("CROSS [position] AT AND MAINTAIN [altitude]", _POSALT),
+    50: ("CROSS [position] BETWEEN [altitude] AND [altitude]", _POSALT2),
+    51: ("CROSS [position] AT [time]", _POSTIME),
+    52: ("CROSS [position] AT OR BEFORE [time]", _POSTIME),
+    53: ("CROSS [position] AT OR AFTER [time]", _POSTIME),
+    54: ("CROSS [position] BETWEEN [time] AND [time]", _POSTIME2),
+    55: ("CROSS [position] AT [speed]", _POSSPD),
+    56: ("CROSS [position] AT OR LESS THAN [speed]", _POSSPD),
+    57: ("CROSS [position] AT OR GREATER THAN [speed]", _POSSPD),
+    58: ("CROSS [position] AT [time] AT [altitude]", _POSTIMEALT),
+    59: ("CROSS [position] AT OR BEFORE [time] AT [altitude]", _POSTIMEALT),
+    60: ("CROSS [position] AT OR AFTER [time] AT [altitude]", _POSTIMEALT),
+    61: ("CROSS [position] AT AND MAINTAIN [altitude] AT [speed]", _POSALTSPD),
+    62: ("AT [time] CROSS [position] AT AND MAINTAIN [altitude]", _TIMEPOSALT),
     63: ("AT [time] CROSS [position] AT AND MAINTAIN [altitude] AT [speed]",
-         _REST),
-    64: ("OFFSET [distance offset] [direction] OF ROUTE", _REST),
+         _TIMEPOSALTSPD),
+    64: ("OFFSET [distance offset] [direction] OF ROUTE", _DODIR),
     65: ("AT [position] OFFSET [distance offset] [direction] OF ROUTE",
-         _REST),
-    66: ("AT [time] OFFSET [distance offset] [direction] OF ROUTE", _REST),
+         _POSDODIR),
+    66: ("AT [time] OFFSET [distance offset] [direction] OF ROUTE", _TIMEDODIR),
     67: ("PROCEED BACK ON ROUTE", _NULL),
-    68: ("REJOIN ROUTE BY [position]", _REST),
+    68: ("REJOIN ROUTE BY [position]", _POS),
     69: ("REJOIN ROUTE BY [time]", _TIME),
-    70: ("EXPECT BACK ON ROUTE BY [position]", _REST),
+    70: ("EXPECT BACK ON ROUTE BY [position]", _POS),
     71: ("EXPECT BACK ON ROUTE BY [time]", _TIME),
     72: ("RESUME OWN NAVIGATION", _NULL),
-    73: ("[predeparture clearance]", _REST),
-    74: ("PROCEED DIRECT TO [position]", _REST),
-    75: ("WHEN ABLE PROCEED DIRECT TO [position]", _REST),
-    76: ("AT [time] PROCEED DIRECT TO [position]", _REST),
-    77: ("AT [position] PROCEED DIRECT TO [position]", _REST),
-    78: ("AT [altitude] PROCEED DIRECT TO [position]", _REST),
-    79: ("CLEARED TO [position] VIA [route clearance]", _REST),
-    80: ("CLEARED [route clearance]", _REST),
-    81: ("CLEARED [procedure name]", _REST),
+    73: ("[predeparture clearance]", _PDC),
+    74: ("PROCEED DIRECT TO [position]", _POS),
+    75: ("WHEN ABLE PROCEED DIRECT TO [position]", _POS),
+    76: ("AT [time] PROCEED DIRECT TO [position]", _TIMEPOS),
+    77: ("AT [position] PROCEED DIRECT TO [position]", _POS2),
+    78: ("AT [altitude] PROCEED DIRECT TO [position]", _ALTPOS),
+    79: ("CLEARED TO [position] VIA [route clearance]", _POSRC),
+    80: ("CLEARED [route clearance]", _RC),
+    81: ("CLEARED [procedure name]", _PROC),
     82: ("CLEARED TO DEVIATE UP TO [distance offset] [direction] OF ROUTE",
-         _REST),
-    83: ("AT [position] CLEARED [route clearance]", _REST),
-    84: ("AT [position] CLEARED [procedure name]", _REST),
-    85: ("EXPECT [route clearance]", _REST),
-    86: ("AT [position] EXPECT [route clearance]", _REST),
-    87: ("EXPECT DIRECT TO [position]", _REST),
-    88: ("AT [position] EXPECT DIRECT TO [position]", _REST),
-    89: ("AT [time] EXPECT DIRECT TO [position]", _REST),
-    90: ("AT [altitude] EXPECT DIRECT TO [position]", _REST),
+         _DODIR),
+    83: ("AT [position] CLEARED [route clearance]", _POSRC),
+    84: ("AT [position] CLEARED [procedure name]", _POSPROC),
+    85: ("EXPECT [route clearance]", _RC),
+    86: ("AT [position] EXPECT [route clearance]", _POSRC),
+    87: ("EXPECT DIRECT TO [position]", _POS),
+    88: ("AT [position] EXPECT DIRECT TO [position]", _POS2),
+    89: ("AT [time] EXPECT DIRECT TO [position]", _TIMEPOS),
+    90: ("AT [altitude] EXPECT DIRECT TO [position]", _ALTPOS),
     91: ("HOLD AT [position] MAINTAIN [altitude] INBOUND TRACK [degrees] "
-         "[direction] TURNS [leg type]", _REST),
-    92: ("HOLD AT [position] AS PUBLISHED MAINTAIN [altitude]", _REST),
+         "[direction] TURNS [leg type]", _HOLD),
+    92: ("HOLD AT [position] AS PUBLISHED MAINTAIN [altitude]", _POSALT),
     93: ("EXPECT FURTHER CLEARANCE AT [time]", _TIME),
-    94: ("TURN [direction] HEADING [degrees]", _REST),
-    95: ("TURN [direction] GROUND TRACK [degrees]", _REST),
+    94: ("TURN [direction] HEADING [degrees]", _DIRDEG),
+    95: ("TURN [direction] GROUND TRACK [degrees]", _DIRDEG),
     96: ("FLY PRESENT HEADING", _NULL),
-    97: ("AT [position] FLY HEADING [degrees]", _REST),
-    98: ("IMMEDIATELY TURN [direction] HEADING [degrees]", _REST),
-    99: ("EXPECT [procedure name]", _REST),
-    100: ("AT [time] EXPECT [speed]", _REST),
-    101: ("AT [position] EXPECT [speed]", _REST),
-    102: ("AT [altitude] EXPECT [speed]", _REST),
-    103: ("AT [time] EXPECT [speed] TO [speed]", _REST),
-    104: ("AT [position] EXPECT [speed] TO [speed]", _REST),
-    105: ("AT [altitude] EXPECT [speed] TO [speed]", _REST),
-    106: ("MAINTAIN [speed]", _REST),
+    97: ("AT [position] FLY HEADING [degrees]", _POSDEG),
+    98: ("IMMEDIATELY TURN [direction] HEADING [degrees]", _DIRDEG),
+    99: ("EXPECT [procedure name]", _PROC),
+    100: ("AT [time] EXPECT [speed]", _TIMESPD),
+    101: ("AT [position] EXPECT [speed]", _POSSPD),
+    102: ("AT [altitude] EXPECT [speed]", _ALTSPD),
+    103: ("AT [time] EXPECT [speed] TO [speed]", _TIMESPD2),
+    104: ("AT [position] EXPECT [speed] TO [speed]", _POSSPD2),
+    105: ("AT [altitude] EXPECT [speed] TO [speed]", _ALTSPD2),
+    106: ("MAINTAIN [speed]", _SPD),
     107: ("MAINTAIN PRESENT SPEED", _NULL),
-    108: ("MAINTAIN [speed] OR GREATER", _REST),
-    109: ("MAINTAIN [speed] OR LESS", _REST),
-    110: ("MAINTAIN [speed] TO [speed]", _REST),
-    111: ("INCREASE SPEED TO [speed]", _REST),
-    112: ("INCREASE SPEED TO [speed] OR GREATER", _REST),
-    113: ("REDUCE SPEED TO [speed]", _REST),
-    114: ("REDUCE SPEED TO [speed] OR LESS", _REST),
-    115: ("DO NOT EXCEED [speed]", _REST),
+    108: ("MAINTAIN [speed] OR GREATER", _SPD),
+    109: ("MAINTAIN [speed] OR LESS", _SPD),
+    110: ("MAINTAIN [speed] TO [speed]", _SPD2),
+    111: ("INCREASE SPEED TO [speed]", _SPD),
+    112: ("INCREASE SPEED TO [speed] OR GREATER", _SPD),
+    113: ("REDUCE SPEED TO [speed]", _SPD),
+    114: ("REDUCE SPEED TO [speed] OR LESS", _SPD),
+    115: ("DO NOT EXCEED [speed]", _SPD),
     116: ("RESUME NORMAL SPEED", _NULL),
-    117: ("CONTACT [icao unit name] [frequency]", _REST),
-    118: ("AT [position] CONTACT [icao unit name] [frequency]", _REST),
-    119: ("AT [time] CONTACT [icao unit name] [frequency]", _REST),
-    120: ("MONITOR [icao unit name] [frequency]", _REST),
-    121: ("AT [position] MONITOR [icao unit name] [frequency]", _REST),
-    122: ("AT [time] MONITOR [icao unit name] [frequency]", _REST),
+    117: ("CONTACT [icao unit name] [frequency]", _UNITFREQ),
+    118: ("AT [position] CONTACT [icao unit name] [frequency]", _POSUNITFREQ),
+    119: ("AT [time] CONTACT [icao unit name] [frequency]", _TIMEUNITFREQ),
+    120: ("MONITOR [icao unit name] [frequency]", _UNITFREQ),
+    121: ("AT [position] MONITOR [icao unit name] [frequency]", _POSUNITFREQ),
+    122: ("AT [time] MONITOR [icao unit name] [frequency]", _TIMEUNITFREQ),
     123: ("SQUAWK [beacon code]", _BCN),
     124: ("STOP SQUAWK", _NULL),
     125: ("SQUAWK ALTITUDE", _NULL),
     126: ("STOP ALTITUDE SQUAWK", _NULL),
     127: ("REPORT BACK ON ROUTE", _NULL),
-    128: ("REPORT LEAVING [altitude]", _REST),
-    129: ("REPORT LEVEL [altitude]", _REST),
-    130: ("REPORT PASSING [position]", _REST),
+    128: ("REPORT LEAVING [altitude]", _ALT),
+    129: ("REPORT LEVEL [altitude]", _ALT),
+    130: ("REPORT PASSING [position]", _POS),
     131: ("REPORT REMAINING FUEL AND SOULS ON BOARD", _NULL),
     132: ("CONFIRM POSITION", _NULL),
     133: ("CONFIRM ALTITUDE", _NULL),
@@ -190,23 +246,23 @@ UPLINK_MSGS = {
     145: ("CONFIRM HEADING", _NULL),
     146: ("CONFIRM GROUND TRACK", _NULL),
     147: ("REQUEST POSITION REPORT", _NULL),
-    148: ("WHEN CAN YOU ACCEPT [altitude]", _REST),
-    149: ("CAN YOU ACCEPT [altitude] AT [position]", _REST),
-    150: ("CAN YOU ACCEPT [altitude] AT [time]", _REST),
-    151: ("WHEN CAN YOU ACCEPT [speed]", _REST),
+    148: ("WHEN CAN YOU ACCEPT [altitude]", _ALT),
+    149: ("CAN YOU ACCEPT [altitude] AT [position]", _ALTPOS),
+    150: ("CAN YOU ACCEPT [altitude] AT [time]", _ALTTIME),
+    151: ("WHEN CAN YOU ACCEPT [speed]", _SPD),
     152: ("WHEN CAN YOU ACCEPT [distance offset] [direction] OFFSET",
-          _REST),
-    153: ("ALTIMETER [altimeter]", _REST),
+          _DODIR),
+    153: ("ALTIMETER [altimeter]", _ALTIM),
     154: ("RADAR SERVICE TERMINATED", _NULL),
-    155: ("RADAR CONTACT [position]", _REST),
+    155: ("RADAR CONTACT [position]", _POS),
     156: ("RADAR CONTACT LOST", _NULL),
-    157: ("CHECK STUCK MICROPHONE [frequency]", _REST),
-    158: ("ATIS [atis code]", _REST),
-    159: ("ERROR [error information]", _REST),
+    157: ("CHECK STUCK MICROPHONE [frequency]", _FREQ),
+    158: ("ATIS [atis code]", _ATIS),
+    159: ("ERROR [error information]", _ERR),
     160: ("NEXT DATA AUTHORITY [icao facility designation]", _FAC),
     161: ("END SERVICE", _NULL),
     162: ("SERVICE UNAVAILABLE", _NULL),
-    163: ("[icao facility designation]", _REST),
+    163: ("[icao facility designation]", _FAC),
     164: ("WHEN READY", _NULL),
     165: ("THEN", _NULL),
     166: ("DUE TO TRAFFIC", _NULL),
@@ -214,17 +270,17 @@ UPLINK_MSGS = {
     168: ("DISREGARD", _NULL),
     169: ("[free text]", _TEXT),
     170: ("[free text]", _TEXT),
-    171: ("CLIMB AT [vertical rate] MINIMUM", _REST),
-    172: ("CLIMB AT [vertical rate] MAXIMUM", _REST),
-    173: ("DESCEND AT [vertical rate] MINIMUM", _REST),
-    174: ("DESCEND AT [vertical rate] MAXIMUM", _REST),
-    175: ("REPORT REACHING [altitude]", _REST),
+    171: ("CLIMB AT [vertical rate] MINIMUM", _VR),
+    172: ("CLIMB AT [vertical rate] MAXIMUM", _VR),
+    173: ("DESCEND AT [vertical rate] MINIMUM", _VR),
+    174: ("DESCEND AT [vertical rate] MAXIMUM", _VR),
+    175: ("REPORT REACHING [altitude]", _ALT),
     176: ("MAINTAIN OWN SEPARATION AND VMC", _NULL),
     177: ("AT PILOTS DISCRETION", _NULL),
     178: ("(reserved)", _REST),
     179: ("SQUAWK IDENT", _NULL),
-    180: ("REPORT REACHING BLOCK [altitude] TO [altitude]", _REST),
-    181: ("REPORT DISTANCE [to/from] [position]", _REST),
+    180: ("REPORT REACHING BLOCK [altitude] TO [altitude]", _ALT2),
+    181: ("REPORT DISTANCE [to/from] [position]", _TOFROMPOS),
     182: ("CONFIRM ATIS CODE", _NULL),
 }
 
@@ -237,67 +293,67 @@ DOWNLINK_MSGS = {
     3: ("ROGER", _NULL),
     4: ("AFFIRM", _NULL),
     5: ("NEGATIVE", _NULL),
-    6: ("REQUEST [altitude]", _REST),
-    7: ("REQUEST BLOCK [altitude] TO [altitude]", _REST),
-    8: ("REQUEST CRUISE CLIMB TO [altitude]", _REST),
-    9: ("REQUEST CLIMB TO [altitude]", _REST),
-    10: ("REQUEST DESCENT TO [altitude]", _REST),
-    11: ("AT [position] REQUEST CLIMB TO [altitude]", _REST),
-    12: ("AT [position] REQUEST DESCENT TO [altitude]", _REST),
-    13: ("AT [time] REQUEST CLIMB TO [altitude]", _REST),
-    14: ("AT [time] REQUEST DESCENT TO [altitude]", _REST),
-    15: ("REQUEST OFFSET [distance offset] [direction] OF ROUTE", _REST),
+    6: ("REQUEST [altitude]", _ALT),
+    7: ("REQUEST BLOCK [altitude] TO [altitude]", _ALT2),
+    8: ("REQUEST CRUISE CLIMB TO [altitude]", _ALT),
+    9: ("REQUEST CLIMB TO [altitude]", _ALT),
+    10: ("REQUEST DESCENT TO [altitude]", _ALT),
+    11: ("AT [position] REQUEST CLIMB TO [altitude]", _POSALT),
+    12: ("AT [position] REQUEST DESCENT TO [altitude]", _POSALT),
+    13: ("AT [time] REQUEST CLIMB TO [altitude]", _TIMEALT),
+    14: ("AT [time] REQUEST DESCENT TO [altitude]", _TIMEALT),
+    15: ("REQUEST OFFSET [distance offset] [direction] OF ROUTE", _DODIR),
     16: ("AT [position] REQUEST OFFSET [distance offset] [direction] "
-         "OF ROUTE", _REST),
+         "OF ROUTE", _POSDODIR),
     17: ("AT [time] REQUEST OFFSET [distance offset] [direction] OF ROUTE",
-         _REST),
-    18: ("REQUEST [speed]", _REST),
-    19: ("REQUEST [speed] TO [speed]", _REST),
+         _TIMEDODIR),
+    18: ("REQUEST [speed]", _SPD),
+    19: ("REQUEST [speed] TO [speed]", _SPD2),
     20: ("REQUEST VOICE CONTACT", _NULL),
-    21: ("REQUEST VOICE CONTACT [frequency]", _REST),
-    22: ("REQUEST DIRECT TO [position]", _REST),
-    23: ("REQUEST [procedure name]", _REST),
-    24: ("REQUEST [route clearance]", _REST),
-    25: ("REQUEST [clearance type] CLEARANCE", _REST),
+    21: ("REQUEST VOICE CONTACT [frequency]", _FREQ),
+    22: ("REQUEST DIRECT TO [position]", _POS),
+    23: ("REQUEST [procedure name]", _PROC),
+    24: ("REQUEST [route clearance]", _RC),
+    25: ("REQUEST [clearance type] CLEARANCE", _CLRTYPE),
     26: ("REQUEST WEATHER DEVIATION TO [position] VIA [route clearance]",
-         _REST),
+         _POSRC),
     27: ("REQUEST WEATHER DEVIATION UP TO [distance offset] [direction] "
-         "OF ROUTE", _REST),
-    28: ("LEAVING [altitude]", _REST),
-    29: ("CLIMBING TO [altitude]", _REST),
-    30: ("DESCENDING TO [altitude]", _REST),
-    31: ("PASSING [position]", _REST),
-    32: ("PRESENT ALTITUDE [altitude]", _REST),
-    33: ("PRESENT POSITION [position]", _REST),
-    34: ("PRESENT SPEED [speed]", _REST),
+         "OF ROUTE", _DODIR),
+    28: ("LEAVING [altitude]", _ALT),
+    29: ("CLIMBING TO [altitude]", _ALT),
+    30: ("DESCENDING TO [altitude]", _ALT),
+    31: ("PASSING [position]", _POS),
+    32: ("PRESENT ALTITUDE [altitude]", _ALT),
+    33: ("PRESENT POSITION [position]", _POS),
+    34: ("PRESENT SPEED [speed]", _SPD),
     35: ("PRESENT HEADING [degrees]", _DEG),
     36: ("PRESENT GROUND TRACK [degrees]", _DEG),
-    37: ("LEVEL [altitude]", _REST),
-    38: ("ASSIGNED ALTITUDE [altitude]", _REST),
-    39: ("ASSIGNED SPEED [speed]", _REST),
-    40: ("ASSIGNED ROUTE [route clearance]", _REST),
+    37: ("LEVEL [altitude]", _ALT),
+    38: ("ASSIGNED ALTITUDE [altitude]", _ALT),
+    39: ("ASSIGNED SPEED [speed]", _SPD),
+    40: ("ASSIGNED ROUTE [route clearance]", _RC),
     41: ("BACK ON ROUTE", _NULL),
-    42: ("NEXT WAYPOINT [position]", _REST),
+    42: ("NEXT WAYPOINT [position]", _POS),
     43: ("NEXT WAYPOINT ETA [time]", _TIME),
-    44: ("ENSUING WAYPOINT [position]", _REST),
-    45: ("REPORTED WAYPOINT [position]", _REST),
+    44: ("ENSUING WAYPOINT [position]", _POS),
+    45: ("REPORTED WAYPOINT [position]", _POS),
     46: ("REPORTED WAYPOINT [time]", _TIME),
     47: ("SQUAWKING [beacon code]", _BCN),
-    48: ("POSITION REPORT [position report]", _REST),
-    49: ("WHEN CAN WE EXPECT [speed]", _REST),
-    50: ("WHEN CAN WE EXPECT [speed] TO [speed]", _REST),
+    48: ("POSITION REPORT [position report]", _POSREPORT),
+    49: ("WHEN CAN WE EXPECT [speed]", _SPD),
+    50: ("WHEN CAN WE EXPECT [speed] TO [speed]", _SPD2),
     51: ("WHEN CAN WE EXPECT BACK ON ROUTE", _NULL),
     52: ("WHEN CAN WE EXPECT LOWER ALTITUDE", _NULL),
     53: ("WHEN CAN WE EXPECT HIGHER ALTITUDE", _NULL),
-    54: ("WHEN CAN WE EXPECT CRUISE CLIMB TO [altitude]", _REST),
+    54: ("WHEN CAN WE EXPECT CRUISE CLIMB TO [altitude]", _ALT),
     55: ("PAN PAN PAN", _NULL),
     56: ("MAYDAY MAYDAY MAYDAY", _NULL),
-    57: ("[remaining fuel] OF FUEL REMAINING AND [souls on board]", _REST),
+    57: ("[remaining fuel] OF FUEL REMAINING AND [souls on board]", _FUEL),
     58: ("CANCEL EMERGENCY", _NULL),
-    59: ("DIVERTING TO [position] VIA [route clearance]", _REST),
-    60: ("OFFSETTING [distance offset] [direction] OF ROUTE", _REST),
-    61: ("DESCENDING TO [altitude]", _REST),
-    62: ("ERROR [error information]", _REST),
+    59: ("DIVERTING TO [position] VIA [route clearance]", _POSRC),
+    60: ("OFFSETTING [distance offset] [direction] OF ROUTE", _DODIR),
+    61: ("DESCENDING TO [altitude]", _ALT),
+    62: ("ERROR [error information]", _ERR),
     63: ("NOT CURRENT DATA AUTHORITY", _NULL),
     64: ("[icao facility designation]", _FAC),
     65: ("DUE TO WEATHER", _NULL),
@@ -307,15 +363,15 @@ DOWNLINK_MSGS = {
     69: ("REQUEST VMC DESCENT", _NULL),
     70: ("REQUEST HEADING [degrees]", _DEG),
     71: ("REQUEST GROUND TRACK [degrees]", _DEG),
-    72: ("REACHING [altitude]", _REST),
-    73: ("[version number]", _REST),
+    72: ("REACHING [altitude]", _ALT),
+    73: ("[version number]", _VERNUM),
     74: ("MAINTAIN OWN SEPARATION AND VMC", _NULL),
     75: ("AT PILOTS DISCRETION", _NULL),
-    76: ("REACHING BLOCK [altitude] TO [altitude]", _REST),
-    77: ("ASSIGNED BLOCK [altitude] TO [altitude]", _REST),
-    78: ("AT [time] [distance] [to/from] [position]", _REST),
-    79: ("ATIS [atis code]", _REST),
-    80: ("DEVIATING [distance offset] [direction] OF ROUTE", _REST),
+    76: ("REACHING BLOCK [altitude] TO [altitude]", _ALT2),
+    77: ("ASSIGNED BLOCK [altitude] TO [altitude]", _ALT2),
+    78: ("AT [time] [distance] [to/from] [position]", _TIMEDISTTOFROMPOS),
+    79: ("ATIS [atis code]", _ATIS),
+    80: ("DEVIATING [distance offset] [direction] OF ROUTE", _DODIR),
 }
 
 
@@ -371,6 +427,370 @@ TYPES = {
         ("degreesTrue", "FANSDegreesTrue")), 2, False),
     "FANSDegreesMagnetic": ("int", (False, 1, 360)),
     "FANSDegreesTrue": ("int", (False, 1, 360)),
+
+    # ---- quantities ---------------------------------------------------
+    # Altitude: 8-way CHOICE over QNH/QFE/GNSS/flight-level forms; the
+    # English forms carry tens of feet (rendered x10), metric forms
+    # meters (fans.py _UNITS holds the display scale table).
+    "FANSAltitude": ("choice", (
+        ("altitudeQNH", "FANSAltitudeQNH"),
+        ("altitudeQNHMeters", "FANSAltitudeQNHMeters"),
+        ("altitudeQFE", "FANSAltitudeQFE"),
+        ("altitudeQFEMeters", "FANSAltitudeQFEMeters"),
+        ("altitudeGNSSFeet", "FANSAltitudeGNSSFeet"),
+        ("altitudeGNSSMeters", "FANSAltitudeGNSSMeters"),
+        ("altitudeFlightLevel", "FANSAltitudeFlightLevel"),
+        ("altitudeFlightLevelMetric", "FANSAltitudeFlightLevelMetric"),
+    ), 8, False),
+    "FANSAltitudeQNH": ("int", (False, -60, 7000)),
+    "FANSAltitudeQNHMeters": ("int", (False, -30, 25000)),
+    "FANSAltitudeQFE": ("int", (False, -60, 7000)),
+    "FANSAltitudeQFEMeters": ("int", (False, -30, 25000)),
+    "FANSAltitudeGNSSFeet": ("int", (False, -600, 70000)),
+    "FANSAltitudeGNSSMeters": ("int", (False, -200, 22000)),
+    "FANSAltitudeFlightLevel": ("int", (False, 30, 600)),
+    "FANSAltitudeFlightLevelMetric": ("int", (False, 100, 2500)),
+    "FANSSpeed": ("choice", (
+        ("speedIndicated", "FANSSpeedIndicated"),
+        ("speedIndicatedMetric", "FANSSpeedIndicatedMetric"),
+        ("speedTrue", "FANSSpeedTrue"),
+        ("speedTrueMetric", "FANSSpeedTrueMetric"),
+        ("speedGround", "FANSSpeedGround"),
+        ("speedGroundMetric", "FANSSpeedGroundMetric"),
+        ("speedMach", "FANSSpeedMach"),
+    ), 7, False),
+    "FANSSpeedIndicated": ("int", (False, 0, 400)),
+    "FANSSpeedIndicatedMetric": ("int", (False, 0, 800)),
+    "FANSSpeedTrue": ("int", (False, 0, 400)),
+    "FANSSpeedTrueMetric": ("int", (False, 0, 800)),
+    "FANSSpeedGround": ("int", (False, -5, 400)),
+    "FANSSpeedGroundMetric": ("int", (False, -10, 800)),
+    "FANSSpeedMach": ("int", (False, 500, 4000)),
+    "FANSDistance": ("choice", (
+        ("distanceNm", "FANSDistanceNm"),
+        ("distanceKm", "FANSDistanceKm")), 2, False),
+    "FANSDistanceNm": ("int", (False, 0, 9999)),
+    "FANSDistanceKm": ("int", (False, 0, 8000)),
+    "FANSDistanceOffset": ("choice", (
+        ("distanceOffsetNm", "FANSDistanceOffsetNm"),
+        ("distanceOffsetKm", "FANSDistanceOffsetKm")), 2, False),
+    "FANSDistanceOffsetNm": ("int", (False, 1, 999)),
+    "FANSDistanceOffsetKm": ("int", (False, 1, 500)),
+    "FANSDirection": ("enum", (
+        (0, "left"), (1, "right"), (2, "eitherSide"), (3, "north"),
+        (4, "south"), (5, "east"), (6, "west"), (7, "northEast"),
+        (8, "northWest"), (9, "southEast"), (10, "southWest")),
+        11, False),
+    "FANSVerticalRate": ("choice", (
+        ("verticalRateEnglish", "FANSVerticalRateEnglish"),
+        ("verticalRateMetric", "FANSVerticalRateMetric")), 2, False),
+    "FANSVerticalRateEnglish": ("int", (False, 0, 3000)),
+    "FANSVerticalRateMetric": ("int", (False, 0, 1000)),
+    "FANSAltimeter": ("choice", (
+        ("altimeterEnglish", "FANSAltimeterEnglish"),
+        ("altimeterMetric", "FANSAltimeterMetric")), 2, False),
+    "FANSAltimeterEnglish": ("int", (False, 2200, 3200)),
+    "FANSAltimeterMetric": ("int", (False, 7500, 12500)),
+    "FANSFrequency": ("choice", (
+        ("frequencyhf", "FANSFrequencyhf"),
+        ("frequencyvhf", "FANSFrequencyvhf"),
+        ("frequencyuhf", "FANSFrequencyuhf"),
+        ("frequencysatchannel", "FANSFrequencysatchannel")), 4, False),
+    "FANSFrequencyhf": ("int", (False, 2850, 28000)),
+    "FANSFrequencyvhf": ("int", (False, 23600, 27398)),
+    "FANSFrequencyuhf": ("int", (False, 9000, 15999)),
+    "FANSFrequencysatchannel": ("charstr", (False, 48, 57),
+                                (False, 1, 12)),
+
+    # ---- positions ----------------------------------------------------
+    "FANSPosition": ("choice", (
+        ("fixName", "FANSFixName"),
+        ("navaid", "FANSNavaid"),
+        ("airport", "FANSAirport"),
+        ("latitudeLongitude", "FANSLatitudeLongitude"),
+        ("placeBearingDistance", "FANSPlaceBearingDistance")), 5, False),
+    "FANSFixName": ("charstr", None, (False, 1, 5)),
+    "FANSNavaid": ("charstr", None, (False, 1, 4)),
+    "FANSAirport": ("charstr", None, (False, 4, 4)),
+    "FANSLatitudeLongitude": ("seq", (
+        ("latitude", "FANSLatitude", False, None, None),
+        ("longitude", "FANSLongitude", False, None, None)), -1),
+    "FANSLatitude": ("seq", (
+        ("latitudeDegrees", "FANSLatitudeDegrees", False, None, None),
+        ("minutesLatLon", "FANSMinutesLatLon", True, None, None),
+        ("latitudeDirection", "FANSLatitudeDirection", False, None,
+         None)), -1),
+    "FANSLongitude": ("seq", (
+        ("longitudeDegrees", "FANSLongitudeDegrees", False, None, None),
+        ("minutesLatLon", "FANSMinutesLatLon", True, None, None),
+        ("longitudeDirection", "FANSLongitudeDirection", False, None,
+         None)), -1),
+    "FANSLatitudeDegrees": ("int", (False, 0, 90)),
+    "FANSLongitudeDegrees": ("int", (False, 0, 180)),
+    "FANSMinutesLatLon": ("int", (False, 0, 5999)),   # 0.01-minute units
+    "FANSLatitudeDirection": ("enum", ((0, "north"), (1, "south")),
+                              2, False),
+    "FANSLongitudeDirection": ("enum", ((0, "east"), (1, "west")),
+                               2, False),
+    "FANSPlaceBearing": ("seq", (
+        ("fixName", "FANSFixName", True, None, None),
+        ("latitudeLongitude", "FANSLatitudeLongitude", True, None, None),
+        ("degrees", "FANSDegrees", False, None, None)), -1),
+    "FANSPlaceBearingDistance": ("seq", (
+        ("fixName", "FANSFixName", True, None, None),
+        ("latitudeLongitude", "FANSLatitudeLongitude", True, None, None),
+        ("degrees", "FANSDegrees", False, None, None),
+        ("distance", "FANSDistance", False, None, None)), -1),
+    "FANSPlaceBearingPlaceBearing": ("seqof", "FANSPlaceBearing",
+                                     (False, 2, 2)),
+
+    # ---- route clearance ---------------------------------------------
+    "FANSProcedureName": ("seq", (
+        ("procedureType", "FANSProcedureType", False, None, None),
+        ("procedure", "FANSProcedure", False, None, None),
+        ("transition", "FANSProcedureTransition", True, None, None)), -1),
+    "FANSProcedureType": ("enum", (
+        (0, "arrival"), (1, "approach"), (2, "departure")), 3, False),
+    "FANSProcedure": ("charstr", None, (False, 1, 20)),
+    "FANSProcedureTransition": ("charstr", None, (False, 1, 5)),
+    "FANSRunway": ("seq", (
+        ("runwayDirection", "FANSRunwayDirection", False, None, None),
+        ("runwayConfiguration", "FANSRunwayConfiguration", False, None,
+         None)), -1),
+    "FANSRunwayDirection": ("int", (False, 1, 36)),
+    "FANSRunwayConfiguration": ("enum", (
+        (0, "left"), (1, "right"), (2, "center"), (3, "none")), 4, False),
+    "FANSAirwayIdentifier": ("charstr", None, (False, 1, 5)),
+    "FANSPublishedIdentifier": ("seq", (
+        ("fixName", "FANSFixName", False, None, None),
+        ("latitudeLongitude", "FANSLatitudeLongitude", True, None,
+         None)), -1),
+    "FANSRouteInformation": ("choice", (
+        ("publishedIdentifier", "FANSPublishedIdentifier"),
+        ("latitudeLongitude", "FANSLatitudeLongitude"),
+        ("placeBearingPlaceBearing", "FANSPlaceBearingPlaceBearing"),
+        ("placeBearingDistance", "FANSPlaceBearingDistance"),
+        ("airwayIdentifier", "FANSAirwayIdentifier")), 5, False),
+    "FANSRouteClearance": ("seq", (
+        ("airportDeparture", "FANSAirport", True, None, None),
+        ("airportDestination", "FANSAirport", True, None, None),
+        ("runwayDeparture", "FANSRunway", True, None, None),
+        ("procedureDeparture", "FANSProcedureName", True, None, None),
+        ("runwayArrival", "FANSRunway", True, None, None),
+        ("procedureApproach", "FANSProcedureName", True, None, None),
+        ("procedureArrival", "FANSProcedureName", True, None, None),
+        ("airwayIntercept", "FANSAirwayIdentifier", True, None, None),
+        ("routeInformations", "FANSRouteInformations", True, None, None),
+        ("routeInformationAdditional", "FANSFreeText", True, None,
+         None)), -1),
+    "FANSRouteInformations": ("seqof", "FANSRouteInformation",
+                              (False, 1, 128)),
+
+    # ---- unit / misc --------------------------------------------------
+    "FANSIcaoUnitName": ("seq", (
+        ("facilityDesignation", "FANSIcaoFacilityDesignation", True,
+         None, None),
+        ("facilityName", "FANSIcaoFacilityName", True, None, None),
+        ("facilityFunction", "FANSIcaoFacilityFunction", False, None,
+         None)), -1),
+    "FANSIcaoFacilityName": ("charstr", None, (False, 3, 18)),
+    "FANSIcaoFacilityFunction": ("enum", (
+        (0, "center"), (1, "approach"), (2, "tower"), (3, "final"),
+        (4, "groundControl"), (5, "clearanceDelivery"), (6, "departure"),
+        (7, "control"), (8, "radio")), 9, False),
+    "FANSATISCode": ("charstr", (False, 65, 90), (False, 1, 1)),
+    "FANSErrorInformation": ("enum", (
+        (0, "applicationError"),
+        (1, "duplicateMsgIdentificationNumber"),
+        (2, "unrecognizedMsgReferenceNumber"),
+        (3, "endServiceWithPendingMsgs"),
+        (4, "endServiceWithNoValidResponse"),
+        (5, "insufficientMsgStorageCapacity"),
+        (6, "noAvailableMsgIdentificationNumbers"),
+        (7, "commandedTermination"),
+        (8, "insufficientData"),
+        (9, "unableToProcessMsg"),
+        (10, "unexpectedData"),
+        (11, "invalidData")), 12, False),
+    "FANSClearanceType": ("enum", (
+        (0, "noneSpecified"), (1, "approach"), (2, "departure"),
+        (3, "further"), (4, "startUp"), (5, "pushback"), (6, "taxi"),
+        (7, "takeOff")), 8, False),
+    "FANSVersionNumber": ("int", (False, 0, 15)),
+    "FANSLegType": ("choice", (
+        ("legDistance", "FANSLegDistance"),
+        ("legTime", "FANSLegTime")), 2, False),
+    "FANSLegDistance": ("choice", (
+        ("legDistanceEnglish", "FANSLegDistanceEnglish"),
+        ("legDistanceMetric", "FANSLegDistanceMetric")), 2, False),
+    "FANSLegDistanceEnglish": ("int", (False, 0, 127)),
+    "FANSLegDistanceMetric": ("int", (False, 1, 128)),
+    "FANSLegTime": ("int", (False, 0, 99)),
+    "FANSToFrom": ("enum", ((0, "to"), (1, "from")), 2, False),
+    "FANSAircraftFlightIdentification": ("charstr", None, (False, 2, 8)),
+
+    # ---- composite element arguments ---------------------------------
+    "FANSAltitudeAltitude": ("seqof", "FANSAltitude", (False, 2, 2)),
+    "FANSSpeedSpeed": ("seqof", "FANSSpeed", (False, 2, 2)),
+    "FANSPositionPosition": ("seqof", "FANSPosition", (False, 2, 2)),
+    "FANSTimeTime": ("seqof", "FANSTime", (False, 2, 2)),
+    "FANSTimeAltitude": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None)), -1),
+    "FANSAltitudeTime": ("seq", (
+        ("altitude", "FANSAltitude", False, None, None),
+        ("time", "FANSTime", False, None, None)), -1),
+    "FANSPositionAltitude": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None)), -1),
+    "FANSAltitudePosition": ("seq", (
+        ("altitude", "FANSAltitude", False, None, None),
+        ("position", "FANSPosition", False, None, None)), -1),
+    "FANSAltitudeSpeed": ("seq", (
+        ("altitude", "FANSAltitude", False, None, None),
+        ("speed", "FANSSpeed", False, None, None)), -1),
+    "FANSTimeSpeed": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("speed", "FANSSpeed", False, None, None)), -1),
+    "FANSPositionSpeed": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("speed", "FANSSpeed", False, None, None)), -1),
+    "FANSAltitudeSpeedSpeed": ("seq", (
+        ("altitude", "FANSAltitude", False, None, None),
+        ("speeds", "FANSSpeedSpeed", False, None, None)), -1),
+    "FANSTimeSpeedSpeed": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("speeds", "FANSSpeedSpeed", False, None, None)), -1),
+    "FANSPositionSpeedSpeed": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("speeds", "FANSSpeedSpeed", False, None, None)), -1),
+    "FANSPositionTime": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("time", "FANSTime", False, None, None)), -1),
+    "FANSTimePosition": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("position", "FANSPosition", False, None, None)), -1),
+    "FANSPositionTimeTime": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("times", "FANSTimeTime", False, None, None)), -1),
+    "FANSPositionAltitudeAltitude": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("altitudes", "FANSAltitudeAltitude", False, None, None)), -1),
+    "FANSPositionTimeAltitude": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("time", "FANSTime", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None)), -1),
+    "FANSPositionAltitudeSpeed": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None),
+        ("speed", "FANSSpeed", False, None, None)), -1),
+    "FANSTimePositionAltitude": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("position", "FANSPosition", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None)), -1),
+    "FANSTimePositionAltitudeSpeed": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("position", "FANSPosition", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None),
+        ("speed", "FANSSpeed", False, None, None)), -1),
+    "FANSDistanceOffsetDirection": ("seq", (
+        ("distanceOffset", "FANSDistanceOffset", False, None, None),
+        ("direction", "FANSDirection", False, None, None)), -1),
+    "FANSPositionDistanceOffsetDirection": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("distanceOffset", "FANSDistanceOffset", False, None, None),
+        ("direction", "FANSDirection", False, None, None)), -1),
+    "FANSTimeDistanceOffsetDirection": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("distanceOffset", "FANSDistanceOffset", False, None, None),
+        ("direction", "FANSDirection", False, None, None)), -1),
+    "FANSPositionRouteClearance": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("routeClearance", "FANSRouteClearance", False, None, None)), -1),
+    "FANSPositionProcedureName": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("procedureName", "FANSProcedureName", False, None, None)), -1),
+    "FANSDirectionDegrees": ("seq", (
+        ("direction", "FANSDirection", False, None, None),
+        ("degrees", "FANSDegrees", False, None, None)), -1),
+    "FANSPositionDegrees": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("degrees", "FANSDegrees", False, None, None)), -1),
+    "FANSHoldClearance": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None),
+        ("degrees", "FANSDegrees", False, None, None),
+        ("direction", "FANSDirection", False, None, None),
+        ("legType", "FANSLegType", True, None, None)), -1),
+    "FANSIcaoUnitNameFrequency": ("seq", (
+        ("icaoUnitName", "FANSIcaoUnitName", False, None, None),
+        ("frequency", "FANSFrequency", False, None, None)), -1),
+    "FANSPositionIcaoUnitNameFrequency": ("seq", (
+        ("position", "FANSPosition", False, None, None),
+        ("icaoUnitName", "FANSIcaoUnitName", False, None, None),
+        ("frequency", "FANSFrequency", False, None, None)), -1),
+    "FANSTimeIcaoUnitNameFrequency": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("icaoUnitName", "FANSIcaoUnitName", False, None, None),
+        ("frequency", "FANSFrequency", False, None, None)), -1),
+    "FANSToFromPosition": ("seq", (
+        ("toFrom", "FANSToFrom", False, None, None),
+        ("position", "FANSPosition", False, None, None)), -1),
+    "FANSTimeDistanceToFromPosition": ("seq", (
+        ("time", "FANSTime", False, None, None),
+        ("distance", "FANSDistance", False, None, None),
+        ("toFrom", "FANSToFrom", False, None, None),
+        ("position", "FANSPosition", False, None, None)), -1),
+    "FANSRemainingFuelSouls": ("seq", (
+        ("remainingFuel", "FANSTime", False, None, None),
+        ("soulsOnBoard", "FANSSoulsOnBoard", False, None, None)), -1),
+    "FANSSoulsOnBoard": ("int", (False, 1, 1024)),
+    "FANSPredepartureClearance": ("seq", (
+        ("aircraftFlightIdentification",
+         "FANSAircraftFlightIdentification", False, None, None),
+        ("airportDeparture", "FANSAirport", False, None, None),
+        ("airportDestination", "FANSAirport", False, None, None),
+        ("runwayDeparture", "FANSRunway", True, None, None),
+        ("routeClearance", "FANSRouteClearance", True, None, None),
+        ("altitudeRestriction", "FANSAltitude", True, None, None),
+        ("frequencyDeparture", "FANSFrequency", True, None, None),
+        ("beaconCode", "FANSBeaconCode", True, None, None),
+        ("freeText", "FANSFreeText", True, None, None)), -1),
+    "FANSPositionReport": ("seq", (
+        ("positionCurrent", "FANSPosition", False, None, None),
+        ("timeAtPositionCurrent", "FANSTime", False, None, None),
+        ("altitude", "FANSAltitude", False, None, None),
+        ("fixNext", "FANSPosition", True, None, None),
+        ("timeEtaAtFixNext", "FANSTime", True, None, None),
+        ("fixNextPlusOne", "FANSPosition", True, None, None),
+        ("timeEtaAtDestination", "FANSTime", True, None, None),
+        ("remainingFuel", "FANSTime", True, None, None),
+        ("temperature", "FANSTemperature", True, None, None),
+        ("winds", "FANSWinds", True, None, None),
+        ("speed", "FANSSpeed", True, None, None),
+        ("verticalChange", "FANSVerticalChange", True, None, None),
+        ("trackAngle", "FANSDegrees", True, None, None),
+        ("trueHeading", "FANSDegrees", True, None, None),
+        ("distance", "FANSDistance", True, None, None),
+        ("supplementaryInformation", "FANSFreeText", True, None, None),
+        ("reportedWaypointPosition", "FANSPosition", True, None, None),
+        ("reportedWaypointTime", "FANSTime", True, None, None),
+        ("reportedWaypointAltitude", "FANSAltitude", True, None,
+         None)), -1),
+    "FANSTemperature": ("int", (False, -100, 70)),
+    "FANSWinds": ("seq", (
+        ("windDirection", "FANSWindDirection", False, None, None),
+        ("windSpeed", "FANSWindSpeed", False, None, None)), -1),
+    "FANSWindDirection": ("int", (False, 1, 360)),
+    "FANSWindSpeed": ("choice", (
+        ("windSpeedEnglish", "FANSWindSpeedEnglish"),
+        ("windSpeedMetric", "FANSWindSpeedMetric")), 2, False),
+    "FANSWindSpeedEnglish": ("int", (False, 0, 255)),
+    "FANSWindSpeedMetric": ("int", (False, 0, 511)),
+    "FANSVerticalChange": ("seq", (
+        ("verticalDirection", "FANSVerticalDirection", False, None, None),
+        ("verticalRate", "FANSVerticalRate", False, None, None)), -1),
+    "FANSVerticalDirection": ("enum", ((0, "up"), (1, "down")), 2, False),
 
     # ---- honest fallback ---------------------------------------------
     "FANSUnparsedArgs": ("rest",),

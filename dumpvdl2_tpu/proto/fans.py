@@ -16,19 +16,112 @@ from .asn1.tables_fans import DOWNLINK_MSGS, SCHEMA, UPLINK_MSGS
 from .base import JsonObj, ProtoNode, TextOut, hex_str
 
 
+# CHOICE-alternative display scaling: alt name -> (scale, unit, decimals)
+# (same role as the reference's la_format_INTEGER_with_unit_as_text call
+# sites for the ICAO tables, asn1-format-icao-text.c).
+_UNITS = {
+    "altitudeQNH": (10, " ft QNH", 0),
+    "altitudeQNHMeters": (1, " m QNH", 0),
+    "altitudeQFE": (10, " ft QFE", 0),
+    "altitudeQFEMeters": (1, " m QFE", 0),
+    "altitudeGNSSFeet": (1, " ft GNSS", 0),
+    "altitudeGNSSMeters": (1, " m GNSS", 0),
+    "altitudeFlightLevelMetric": (10, " m (metric FL)", 0),
+    "speedIndicated": (10, " kts IAS", 0),
+    "speedIndicatedMetric": (10, " km/h IAS", 0),
+    "speedTrue": (10, " kts TAS", 0),
+    "speedTrueMetric": (10, " km/h TAS", 0),
+    "speedGround": (10, " kts GS", 0),
+    "speedGroundMetric": (10, " km/h GS", 0),
+    "speedMach": (0.001, " Mach", 3),
+    "frequencyhf": (1, " kHz", 0),
+    "frequencyvhf": (0.005, " MHz", 3),
+    "frequencyuhf": (0.025, " MHz", 3),
+    "distanceNm": (0.1, " nm", 1),
+    "distanceKm": (1, " km", 0),
+    "distanceOffsetNm": (0.1, " nm", 1),
+    "distanceOffsetKm": (1, " km", 0),
+    "altimeterEnglish": (0.01, " inHg", 2),
+    "altimeterMetric": (0.1, " hPa", 1),
+    "verticalRateEnglish": (10, " ft/min", 0),
+    "verticalRateMetric": (10, " m/min", 0),
+    "legDistanceEnglish": (0.1, " nm", 1),
+    "legDistanceMetric": (1, " km", 0),
+    "legTime": (1, " min", 0),
+    "degreesMagnetic": (1, " deg magnetic", 0),
+    "degreesTrue": (1, " deg true", 0),
+    "windSpeedEnglish": (1, " kts", 0),
+    "windSpeedMetric": (1, " km/h", 0),
+}
+
+# Field-name display labels for composite argument SEQUENCEs.
+_FIELD_LABELS = {
+    "timeAtPositionCurrent": "at time",
+    "positionCurrent": "position",
+    "timeEtaAtFixNext": "ETA",
+    "timeEtaAtDestination": "destination ETA",
+    "routeInformationAdditional": "additional info",
+    "aircraftFlightIdentification": "flight id",
+}
+
+
+def _latlon_text(value: dict) -> str:
+    def one(deg_key, dct):
+        deg = dct[deg_key]
+        direction = [v for k, v in dct.items() if k.endswith("Direction")]
+        s = f"{deg}"
+        if "minutesLatLon" in dct:
+            s += f" {dct['minutesLatLon'] / 100.0:.2f}'"
+        if direction:
+            s += direction[0][0].upper()
+        return s
+    return (one("latitudeDegrees", value["latitude"]) + " "
+            + one("longitudeDegrees", value["longitude"]))
+
+
 def _fmt_arg(name: str, value: Any) -> tuple[str, Any]:
     """Render one decoded element argument for text/JSON output."""
     if value is None:
         return "", None
-    if isinstance(value, dict):           # FANSTime
-        if set(value) >= {"hours", "minutes"}:
+    if isinstance(value, dict):
+        if set(value) >= {"hours", "minutes"}:     # FANSTime(stamp)
             s = f"{value['hours']:02d}:{value['minutes']:02d}"
             if "seconds" in value:
                 s += f":{value['seconds']:02d}"
             return s, s
-    if isinstance(value, list):           # beacon code digits
-        s = "".join(str(d) for d in value)
-        return s, s
+        if "latitude" in value and "longitude" in value:
+            s = _latlon_text(value)
+            return s, {k: _fmt_arg(k, v)[1] for k, v in value.items()}
+        if "latitudeDegrees" in value or "longitudeDegrees" in value:
+            parts = []
+            js = {}
+            for k, v in value.items():
+                txt, j = _fmt_arg(k, v)
+                parts.append(txt)
+                js[k] = j
+            return " ".join(parts), js
+        # generic composite argument: "field: value" pairs
+        parts = []
+        js = {}
+        for k, v in value.items():
+            txt, j = _fmt_arg(k, v)
+            label = _FIELD_LABELS.get(k, k)
+            parts.append(f"{label}: {txt}" if txt else label)
+            js[k] = j
+        return ", ".join(parts), js
+    if isinstance(value, list):
+        if value and all(isinstance(d, int) and 0 <= d <= 7
+                         for d in value) and name.endswith(
+                             ("uM123", "dM47")):  # beacon code digits
+            s = "".join(str(d) for d in value)
+            return s, s
+        if value and all(isinstance(d, int) for d in value) \
+                and len(value) == 4 and max(value) <= 7:
+            s = "".join(str(d) for d in value)
+            return s, s
+        rendered = [_fmt_arg(name, v) for v in value]
+        return (" / ".join(t for t, _ in rendered),
+                [j for _, j in rendered])
     if isinstance(value, tuple):
         if len(value) == 2 and isinstance(value[0], (bytes, bytearray)) \
                 and isinstance(value[1], int):   # unparsed bits
@@ -36,7 +129,15 @@ def _fmt_arg(name: str, value: Any) -> tuple[str, Any]:
                     f"[{value[1]} bits])",
                     {"unparsed_bits": hex_str(value[0]),
                      "nbits": value[1]})
-        alt, sub = value                  # CHOICE (e.g. degrees)
+        alt, sub = value                  # CHOICE
+        if alt == "altitudeFlightLevel":
+            return f"FL{sub}", {alt: sub}
+        unit = _UNITS.get(alt)
+        if unit is not None and isinstance(sub, int):
+            scale, suffix, dec = unit
+            v = sub * scale
+            s = f"{v:.{dec}f}{suffix}" if dec else f"{int(v)}{suffix}"
+            return s, {alt: sub}
         txt, js = _fmt_arg(name, sub)
         return f"{txt} ({alt})", {alt: js}
     return str(value), value

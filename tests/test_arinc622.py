@@ -166,21 +166,24 @@ def test_fans_cpdlc_downlink_args():
 
 
 def test_fans_cpdlc_unparsed_args_honest():
-    """Elements with unmodelled arg types surface raw bits, not junk."""
+    """Elements with unmodelled arg types surface raw bits, not junk.
+
+    After the round-3 table fill only uM178 ("reserved") still uses the
+    raw-bits fallback; it keeps exercising the honesty path."""
     msg = {
         "header": {"msgIdentificationNumber": 1},
-        "messageData": [("uM20", (b"\xAB\xCD", 16))],
+        "messageData": [("uM178", (b"\xAB\xCD", 16))],
     }
     data = encode(SCHEMA, "FANSATCUplinkMessage", msg)
     node = cpdlc_fans_parse(data, uplink=True)
     assert node.msg is not None, node.error
     alt, val = node.msg["messageData"][0]
-    assert alt == "uM20"
+    assert alt == "uM178"
     # decode absorbs the final byte-alignment padding into the tail
     assert val[0][:2] == b"\xAB\xCD" and val[1] >= 16
     out = TextOut()
     node.format_text(out, 0)
-    assert "CLIMB TO AND MAINTAIN" in out.getvalue()
+    assert "(reserved)" in out.getvalue()
     assert "unparsed" in out.getvalue()
 
 
