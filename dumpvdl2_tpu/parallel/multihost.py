@@ -17,10 +17,11 @@ the equivalents are:
   process can address; candidates are tiny (indices + symbols) next
   to the raw stream, so DCN result traffic is negligible.
 
-Single-process behavior is exercised by tests/test_multihost.py on the
-simulated 8-device CPU mesh; the multi-process paths use only
-documented, process-count-agnostic JAX APIs
-(make_array_from_process_local_data / addressable_shards).
+Exercised two ways by tests/test_multihost.py: single-process on the
+simulated 8-device CPU mesh, and FOR REAL with two ``jax.distributed``
+processes over a localhost coordinator (4 forced CPU devices each ->
+an 8-device global mesh spanning both), asserting per-process gathered
+candidates equal the single-process run bit-for-bit.
 """
 from __future__ import annotations
 
