@@ -115,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--device-settings",
                     help="SoapySDR device settings (k1=v1,k2=v2)")
     gi.add_argument("--antenna", help="SoapySDR antenna selection")
+    gi.add_argument("--soapy-gain",
+                    help="SoapySDR per-element gains (name1=v1,name2=v2); "
+                         "takes precedence over --gain")
 
     go = p.add_argument_group("output options")
     go.add_argument("--output", action="append", default=[],
