@@ -43,10 +43,11 @@ _ATS_LABELS = {"A6", "AA", "B6", "BA", "H1"}
 
 # "/<addr>.<IMI>" at any offset in the text (raw bytes).
 _ATS_RE = re.compile(rb"/([A-Z0-9]{3,8})\.(AT1|CR1|CC1|DR1|ADS|DIS)")
-_REG_RE = re.compile(rb"[. ]?[A-Z0-9-]{2,7} ?")
+# fixed 7-character registration field, e.g. ".N123AB" / "N1234  "
+_REG_RE = re.compile(rb"[. ]?[A-Z0-9. -]{6}")
 
 
-CANONICAL_CRC = "ccitt_ffff_le"
+CANONICAL_CRC = "ccitt_ffff_inv_le"
 
 
 def _crc_check(unit: bytes) -> tuple[bool, str]:
@@ -54,8 +55,10 @@ def _crc_check(unit: bytes) -> tuple[bool, str]:
 
     ``unit`` = bytes from the character after '/' through the CRC.
     Conventions are tried in a fixed order with the canonical one
-    (init 0xFFFF, LE — what libacars enforces) first, so it always
-    wins ties; a non-canonical match is counted via statsd.
+    first — init 0xFFFF, HDLC-style one's complement, little-endian,
+    the convention this framework's own encoder (sim / fixtures) uses —
+    so it always wins ties; a non-canonical match is counted via
+    statsd.
     """
     if len(unit) < 3:
         return False, ""
@@ -65,10 +68,10 @@ def _crc_check(unit: bytes) -> tuple[bool, str]:
         crc = crc16_ccitt(body, init)
         inv = crc ^ 0xFFFF
         candidates += [
-            (bytes((crc & 0xFF, crc >> 8)), name + "_le"),
-            (bytes((crc >> 8, crc & 0xFF)), name + "_be"),
             (bytes((inv & 0xFF, inv >> 8)), name + "_inv_le"),
             (bytes((inv >> 8, inv & 0xFF)), name + "_inv_be"),
+            (bytes((crc & 0xFF, crc >> 8)), name + "_le"),
+            (bytes((crc >> 8, crc & 0xFF)), name + "_be"),
         ]
     for want, name in candidates:
         if stored == want:
@@ -143,13 +146,14 @@ def maybe_parse_arinc622(acars_node, msg_type: int
     imi = m.group(2).decode("ascii")
     rest = raw[m.end():]
 
-    # Optional aircraft registration field right after the IMI
-    # (printable, typically ".N123AB" = 7 chars).
+    # Aircraft registration field right after the IMI: FIXED seven
+    # characters (e.g. ".N123AB") per the ARINC 622 message layout — a
+    # greedy match would swallow a printable first byte of the binary
+    # ATS payload.
     reg = ""
-    rm = _REG_RE.match(rest)
-    if rm is not None and rm.end() <= 8:
-        reg = rm.group(0).decode("ascii").strip(". ")
-        rest = rest[rm.end():]
+    if len(rest) >= 7 and _REG_RE.fullmatch(rest[:7]):
+        reg = rest[:7].decode("ascii").strip(". ")
+        rest = rest[7:]
 
     app_name, flt_bit = _IMI_TABLE[imi]
     msg_type |= flt_bit
