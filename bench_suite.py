@@ -28,14 +28,36 @@ REPEATS = 10
 WAV = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
 
 
+_LAST_SPREAD = {}
+
+
 def _median_time(fn, repeats=REPEATS):
+    """Median wall time over ``repeats`` runs; records run count and
+    min/median/max seconds in _LAST_SPREAD so every reported row can
+    carry its spread (shared bench chips vary run to run)."""
     fn()                                    # compile / warm caches
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
+    _LAST_SPREAD.update(runs=repeats, t_min=float(np.min(times)),
+                        t_median=float(np.median(times)),
+                        t_max=float(np.max(times)))
     return float(np.median(times))
+
+
+def _with_spread(row, per_run_value=None):
+    """Attach runs + value spread to a bench row.  ``per_run_value``
+    maps a wall time to the metric value (rate metrics: min time ->
+    best value)."""
+    row["runs"] = _LAST_SPREAD.get("runs", 0)
+    if per_run_value is not None and _LAST_SPREAD:
+        vals = sorted(per_run_value(t) for t in
+                      (_LAST_SPREAD["t_min"], _LAST_SPREAD["t_max"]))
+        row["value_min"] = round(vals[0], 1)
+        row["value_max"] = round(vals[1], 1)
+    return row
 
 
 def bench_single_channel_wav():
@@ -67,9 +89,11 @@ def bench_single_channel_wav():
         assert n == 2, f"expected 2 frames, got {n}"
 
     dt = _median_time(run, repeats=5)
-    return {"metric": "single_channel_wav_decode_realtime_factor",
-            "value": round(duration / dt, 1), "unit": "x realtime",
-            "vs_baseline": round(duration / dt, 1)}
+    return _with_spread(
+        {"metric": "single_channel_wav_decode_realtime_factor",
+         "value": round(duration / dt, 1), "unit": "x realtime",
+         "vs_baseline": round(duration / dt, 1)},
+        lambda t: duration / t)
 
 
 def bench_channelizer_8ch():
@@ -101,9 +125,11 @@ def bench_channelizer_8ch():
 
     dt = _median_time(run)
     msps = N / dt / 1e6
-    return {"metric": "iq_msamples_per_sec_per_chip_8ch",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "vs_baseline": round(msps / 2.1, 1)}
+    return _with_spread(
+        {"metric": "iq_msamples_per_sec_per_chip_8ch",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "vs_baseline": round(msps / 2.1, 1)},
+        lambda t: N / t / 1e6)
 
 
 def bench_bit_level_decode():
@@ -131,10 +157,12 @@ def bench_bit_level_decode():
     cw_s = B * MAX_BLOCKS / dt
     # realtime requirement: a saturated 31.5 kbps channel sends at most
     # ~1.9 max-length bursts/s; vs_baseline = channels worth of bursts
-    return {"metric": "l2_bit_decode_bursts_per_sec",
-            "value": round(bursts_s, 1), "unit": "bursts/s",
-            "rs_codewords_per_sec": round(cw_s, 1),
-            "vs_baseline": round(bursts_s / 1.9, 1)}
+    return _with_spread(
+        {"metric": "l2_bit_decode_bursts_per_sec",
+         "value": round(bursts_s, 1), "unit": "bursts/s",
+         "rs_codewords_per_sec": round(cw_s, 1),
+         "vs_baseline": round(bursts_s / 1.9, 1)},
+        lambda t: B / t)
 
 
 def bench_e2e_streaming():
@@ -166,9 +194,11 @@ def bench_e2e_streaming():
 
     dt = _median_time(run)
     msps = N / dt / 1e6
-    return {"metric": "e2e_streaming_msamples_per_sec_8ch",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "vs_baseline": round(msps / 2.1, 1)}
+    return _with_spread(
+        {"metric": "e2e_streaming_msamples_per_sec_8ch",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "vs_baseline": round(msps / 2.1, 1)},
+        lambda t: N / t / 1e6)
 
 
 def bench_wideband_256ch():
@@ -203,15 +233,17 @@ def bench_wideband_256ch():
                             os_, halo, SYNC_THRESHOLD, K, S)
         jax.block_until_ready(out)
 
-    dt = _median_time(run, repeats=5)
+    dt = _median_time(run, repeats=10)
     msps = N / dt / 1e6
     # realtime needs fs = 8.4 Msps ingest; capacity = how many full
     # 256-channel wideband spans one chip could demodulate in realtime
     spans = msps / (fs / 1e6)
-    return {"metric": "wideband_256ch_msamples_per_sec",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "channels_at_realtime": int(spans * C),
-            "vs_baseline": round(spans, 2)}
+    return _with_spread(
+        {"metric": "wideband_256ch_msamples_per_sec",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "channels_at_realtime": int(spans * C),
+         "vs_baseline": round(spans, 2)},
+        lambda t: N / t / 1e6)
 
 
 BENCHES = {
@@ -262,10 +294,14 @@ def _update_baseline(rows) -> None:
     backend = jax.default_backend()
     dev = str(jax.devices()[0])
     lines = ["", f"## Measured (backend={backend}, device={dev})", "",
-             "| Metric | Value | Unit | vs baseline |", "|---|---|---|---|"]
+             "| Metric | Value | Unit | vs baseline | runs | min-max |",
+             "|---|---|---|---|---|---|"]
     for r in rows:
+        spread = (f"{r['value_min']}-{r['value_max']}"
+                  if "value_min" in r else "-")
         lines.append(f"| {r['metric']} | {r['value']} | {r['unit']} | "
-                     f"{r['vs_baseline']} |")
+                     f"{r['vs_baseline']} | {r.get('runs', '-')} | "
+                     f"{spread} |")
     with open("BASELINE.md") as f:
         text = f.read()
     marker = "## Measured (backend="

@@ -140,7 +140,9 @@ class MeshPipeline(VDL2Pipeline):
             return []
         cands, l2, pwr3, base_raw, override_info = self._pending
         self._pending = None
-        pwr3_np = np.asarray(pwr3)
+        # one roundtrip: candidate fields + pwr3 + device-L2 results
+        merged, l2_map, (pwr3_np, l2_np) = self._merge_candidates(
+            cands, skip_big=l2 is not None, extra=(pwr3, l2))
         nf_base = base_raw // self.oversample
         if override_info is not None:
             # drop tracker entries that re-cover prepended samples: the
@@ -154,11 +156,10 @@ class MeshPipeline(VDL2Pipeline):
         # columns ~ every-3rd fresh decimated sample from nf_base
         # (per-shard restarts misalign by <= 2 samples when Ml % 3 != 0)
         self._stash_noise_block(pwr3_np, nf_base)
-        merged, l2_map = self._merge_candidates(
-            cands, skip_big=l2 is not None)
         base_dec = base_raw // self.oversample
-        frames = self._process_candidates(merged, base_dec, eof=False,
-                                          l2=l2, l2_map=l2_map)
+        frames = self._process_candidates(
+            merged, base_dec, eof=False, l2=l2, l2_map=l2_map,
+            fetched=self._candidate_fields(merged, l2), l2_np=l2_np)
         self._finish_noise_block()
         if self.last_deferred_min is not None:
             self._prepend_from = max(
@@ -252,21 +253,26 @@ class MeshPipeline(VDL2Pipeline):
         import jax
         return jax.device_put(arr, like.sharding)
 
-    def _merge_candidates(self, cands, skip_big: bool = False):
+    def _merge_candidates(self, cands, skip_big: bool = False,
+                          extra=None):
         """Compact (Tn, C, K) candidate slots into (C, Tn*K) in time
         order, with a map back to the flat device L2 batch index.
 
         ``skip_big``: with the device L2 path the (Tn, C, K, S)
         symbols/power arrays are consumed on device — don't pull them
-        to the host; tiny placeholders keep the namedtuple shape."""
+        to the host; tiny placeholders keep the namedtuple shape.
+        ``extra``: optional pytree of additional device values to fetch
+        in the SAME device_get (one roundtrip); returned fetched as a
+        third element when given."""
         import jax
         import numpy as np
         big = ("symbols", "power") if skip_big else ()
         names = [f for f in cands._fields if f != "count" and f not in big]
-        # one coalesced device_get (count + every small field)
-        fetched = jax.device_get(tuple([cands.count]
-                                       + [getattr(cands, f)
-                                          for f in names]))
+        # one coalesced device_get (count + every small field + extra)
+        fetched = jax.device_get(
+            (tuple([cands.count] + [getattr(cands, f) for f in names]),
+             extra))
+        fetched, extra_np = fetched
         count = fetched[0]                       # (Tn, C)
         arrs = dict(zip(names, fetched[1:]))
         for f in big:
@@ -291,7 +297,10 @@ class MeshPipeline(VDL2Pipeline):
                     self.channels[c].bump("demod.sync.overflow")
             mcount[c] = j
         from ..dsp.demod import Candidates
-        return Candidates(count=mcount, **out), l2_map
+        merged = Candidates(count=mcount, **out)
+        if extra is not None:
+            return merged, l2_map, extra_np
+        return merged, l2_map
 
     def _launch_l2_flat(self, cands):
         if not self.use_device_l2:

@@ -271,10 +271,26 @@ class VDL2Pipeline:
         self._nf_mags = None
 
     # ------------------------------------------------------------- candidates
+    @staticmethod
+    def _candidate_fields(cands, l2):
+        """Device arrays a drain must fetch for host processing.  With
+        the device L2 path symbols/power stay ON DEVICE: the burst
+        decode consumes them there and frame_pwr comes back in the l2
+        result, so the (C, K, S) arrays never cross the host link."""
+        small = (cands.count, cands.det_idx, cands.sync_idx,
+                 cands.dphi, cands.pherr, cands.sym_valid)
+        if l2 is None:
+            return small + (cands.symbols, cands.power)
+        return small
+
+    def _fetch_candidates(self, cands, l2):
+        import jax  # deferred: keep module import light for CLI startup
+        return jax.device_get(self._candidate_fields(cands, l2))
+
     def _process_candidates(self, cands, base: int, eof: bool,
-                            l2=None, l2_map=None) -> list[DecodedFrame]:
+                            l2=None, l2_map=None, fetched=None,
+                            l2_np=None) -> list[DecodedFrame]:
         out: list[DecodedFrame] = []
-        l2_np: dict | None = None
         self.last_deferred_min: int | None = None
 
         def l2_index(c: int, k: int) -> int:
@@ -307,22 +323,17 @@ class VDL2Pipeline:
 
         # ONE coalesced device_get for all small candidate fields (per
         # fetch there is a host sync — on latency-bound links each
-        # separate np.asarray costs a full roundtrip).
-        import jax  # deferred: keep module import light for CLI startup
-        small = (cands.count, cands.det_idx, cands.sync_idx, cands.dphi,
-                 cands.pherr, cands.sym_valid)
+        # separate np.asarray costs a full roundtrip).  Callers that
+        # already fetched (e.g. _drain_pending, which coalesces these
+        # with pwr3 + the L2 results into a single roundtrip) pass the
+        # arrays in via ``fetched``.
+        if fetched is None:
+            fetched = self._fetch_candidates(cands, l2)
         if l2 is None:
-            # host L2 path also needs the big arrays
             (count, det_idx, sync_idx, dphi, pherr, sym_valid,
-             symbols, power) = jax.device_get(
-                small + (cands.symbols, cands.power))
+             symbols, power) = fetched
         else:
-            # With the device L2 path, symbols/power stay ON DEVICE:
-            # the burst decode consumes them there and frame_pwr comes
-            # back in the l2 result, so the (C, K, S) arrays never
-            # cross the host link.
-            count, det_idx, sync_idx, dphi, pherr, sym_valid = \
-                jax.device_get(small)
+            count, det_idx, sync_idx, dphi, pherr, sym_valid = fetched
             symbols = power = None
 
         for c, ch in enumerate(self.channels):
@@ -486,13 +497,22 @@ class VDL2Pipeline:
         return frames
 
     def _drain_pending(self) -> list[DecodedFrame]:
-        """Fetch + host-process the oldest in-flight block, if any."""
+        """Fetch + host-process the oldest in-flight block, if any.
+
+        EVERYTHING the host needs for the block — noise-tracker power
+        columns, candidate fields, and the device-L2 results — comes
+        back in ONE device_get: on a latency-bound link each separate
+        fetch costs a full roundtrip."""
         if self._pending is None:
             return []
         cands, l2, pwr3, base, nf_base = self._pending
         self._pending = None
-        self._stash_noise_block(np.asarray(pwr3), nf_base)
-        frames = self._process_candidates(cands, base, eof=False, l2=l2)
+        import jax
+        pwr3_np, fetched, l2_np = jax.device_get(
+            (pwr3, self._candidate_fields(cands, l2), l2))
+        self._stash_noise_block(pwr3_np, nf_base)
+        frames = self._process_candidates(cands, base, eof=False, l2=l2,
+                                          fetched=fetched, l2_np=l2_np)
         self._finish_noise_block()
         return frames
 
