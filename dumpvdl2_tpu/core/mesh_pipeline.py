@@ -206,8 +206,12 @@ class MeshPipeline(VDL2Pipeline):
         cands = self._demod_fn(np.asarray(dec), SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
         l2 = self._launch_l2(cands)
+        import jax
+        fetched, l2_np = jax.device_get(
+            (self._candidate_fields(cands, l2), l2))   # one roundtrip
         return frames0 + self._process_candidates(
-            cands, start_raw // self.oversample, eof=True, l2=l2)
+            cands, start_raw // self.oversample, eof=True, l2=l2,
+            fetched=fetched, l2_np=l2_np)
 
     # --------------------------------------------------------- helpers
     def _push_tail(self, planar: np.ndarray) -> None:

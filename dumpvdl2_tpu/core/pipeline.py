@@ -523,6 +523,11 @@ class VDL2Pipeline:
             return frames
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
+        l2 = self._launch_l2(cands)
+        import jax
+        fetched, l2_np = jax.device_get(
+            (self._candidate_fields(cands, l2), l2))   # one roundtrip
         frames.extend(self._process_candidates(
-            cands, self.hist_base, eof=True, l2=self._launch_l2(cands)))
+            cands, self.hist_base, eof=True, l2=l2, fetched=fetched,
+            l2_np=l2_np))
         return frames
