@@ -114,7 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="SDR frequency correction in ppm")
     gi.add_argument("--device-settings",
                     help="SoapySDR device settings (k1=v1,k2=v2)")
-    gi.add_argument("--antenna", help="SoapySDR antenna selection")
+    gi.add_argument("--antenna", help="antenna port selection (SDRPlay "
+                                      "A/B/C; also accepted by SoapySDR)")
+    gi.add_argument("--soapy-antenna", help="SoapySDR antenna selection")
     gi.add_argument("--soapy-gain",
                     help="SoapySDR per-element gains (name1=v1,name2=v2); "
                          "takes precedence over --gain")

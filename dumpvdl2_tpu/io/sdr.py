@@ -75,8 +75,11 @@ def configure_device(SoapySDR, dev, args, pipeline) -> bool:
         dev.setGain(SOAPY_SDR_RX, 0, float(args.gain))
         print(f"Gain set to {float(args.gain):.2f} dB", file=sys.stderr)
 
-    if args.antenna:
-        dev.setAntenna(SOAPY_SDR_RX, 0, args.antenna)
+    # --soapy-antenna is the reference's dedicated flag (soapysdr.c:91);
+    # --antenna (shared with the SDRPlay drivers) works as a fallback.
+    antenna = getattr(args, "soapy_antenna", None) or args.antenna
+    if antenna:
+        dev.setAntenna(SOAPY_SDR_RX, 0, antenna)
     try:
         print(f"Antenna: {dev.getAntenna(SOAPY_SDR_RX, 0)}",
               file=sys.stderr)

@@ -117,7 +117,7 @@ class Args(types.SimpleNamespace):
     def __init__(self, **kw):
         base = dict(soapysdr="driver=rtlsdr", gain=None, correction=0.0,
                     bandwidth=0, antenna=None, device_settings=None,
-                    soapy_gain=None)
+                    soapy_gain=None, soapy_antenna=None)
         base.update(kw)
         super().__init__(**base)
 
@@ -161,6 +161,15 @@ def test_configure_sequence_manual_gain(fake_soapy):
     assert ("setAntenna", "Tuner 1 50 ohm") in dev.calls
     assert ("writeSetting", "biastee", "true") in dev.calls
     assert ("writeSetting", "rfnotch_ctrl", "false") in dev.calls
+
+
+def test_soapy_antenna_takes_precedence(fake_soapy):
+    """--soapy-antenna (reference soapysdr.c:91) wins over --antenna."""
+    args = Args(gain=20.0, antenna="A", soapy_antenna="RX2")
+    dev = fake_soapy.Device(args.soapysdr)
+    assert sdr_mod.configure_device(fake_soapy, dev, args, FakePipeline())
+    assert ("setAntenna", "RX2") in dev.calls
+    assert ("setAntenna", "A") not in dev.calls
 
 
 def test_auto_gain_when_no_gain_given(fake_soapy):
