@@ -237,12 +237,35 @@ def setup_signals() -> None:
             pass     # non-main thread / unsupported platform
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the fused DSP step costs tens
+    of seconds to compile cold; caching it on disk makes restarts (and
+    supervisor-driven respawns, the reference's recommended recovery
+    for SDR read errors) start decoding in ~a second.  Opt out / move
+    with DUMPVDL2_TPU_CACHE ("" or "0" disables)."""
+    cache = os.environ.get("DUMPVDL2_TPU_CACHE")
+    if cache in ("", "0", "none"):
+        return
+    if not cache:
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "dumpvdl2_tpu", "xla")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass                 # cache is best-effort; decoding works without
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     apply_config(args)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    _enable_compile_cache()
 
     fmtr_list = []
     try:

@@ -20,6 +20,19 @@ import pytest
 # JAX_PLATFORMS; override it explicitly so tests run on the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (same default dir as the CLI): the suite
+# spawns many fresh CLI subprocesses whose fused-DSP compiles repeat
+# identically; caching them cuts minutes off a full run.
+try:
+    _cache = os.path.join(os.path.expanduser("~"), ".cache",
+                          "dumpvdl2_tpu", "xla")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_WAV = pathlib.Path("/root/reference/test/vdl2_model_16b_1050kHz.wav")
 
