@@ -246,12 +246,65 @@ def bench_wideband_256ch():
         lambda t: N / t / 1e6)
 
 
+def bench_raw_replay():
+    """Config 6: host protocol stack bulk replay (archive reprocess).
+
+    Measures the full L3/L4 path — protobuf record decode, AVLC parse,
+    protocol tree build (with reassembly), text formatting — over
+    synthetic fleet traffic (64 aircraft, full protocol breadth).
+    vs_baseline = how many SATURATED 31.5 kbps VDL2 channels' worth of
+    frames one decode process keeps up with in realtime (the airtime
+    the decoded frames would occupy divided by decode time).
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import gen_bench_archive as gba
+    from dumpvdl2_tpu.io import rawframes
+    from dumpvdl2_tpu.io.formatters import formatter_get
+    from dumpvdl2_tpu.proto.avlc import avlc_parse
+    from dumpvdl2_tpu.proto.reasm import ReasmContexts
+
+    with tempfile.NamedTemporaryFile(suffix=".frames") as tf:
+        n = gba.write_archive(tf.name, 64, 16)
+        with open(tf.name, "rb") as fh:
+            bodies = list(rawframes.read_raw_bodies(fh))
+    assert len(bodies) == n
+    fd = formatter_get("text")
+    airtime_bits = 0
+
+    def run():
+        nonlocal airtime_bits
+        airtime_bits = 0
+        reasm = ReasmContexts()
+        for b in bodies:
+            d = rawframes.decode_raw_frame(b)
+            frame = bytes(d.frame)
+            airtime_bits += 8 * len(frame)
+            root, _mt = avlc_parse(frame, d.metadata, reasm)
+            if root is not None:
+                fd.format_decoded_msg(d.metadata, root)
+
+    dt = _median_time(run, repeats=5)
+    fps = n / dt
+    airtime = airtime_bits / 31500.0
+    return _with_spread(
+        {"metric": "raw_replay_frames_per_sec",
+         "value": round(fps, 1), "unit": "frames/s",
+         "vs_baseline": round(airtime / dt, 1)},
+        lambda t: n / t)
+
+
 BENCHES = {
     "single_channel_wav": bench_single_channel_wav,
     "channelizer_8ch": bench_channelizer_8ch,
     "bit_level_decode": bench_bit_level_decode,
     "e2e_streaming": bench_e2e_streaming,
     "wideband_256ch": bench_wideband_256ch,
+    "raw_replay": bench_raw_replay,
 }
 
 

@@ -182,6 +182,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the DSP sharded over a (channel x time) "
                          "device mesh, e.g. 2x4 (channel count must "
                          "divide evenly into C shards)")
+    gt.add_argument("--decode-workers", type=int, default=0, metavar="N",
+                    help="fan the host protocol stack (L3/L4) out over "
+                         "N worker processes with reassembly-affinity "
+                         "sharding and in-order emission (0 = decode "
+                         "in-process, the reference's single-thread "
+                         "topology)")
     return p
 
 
@@ -287,7 +293,13 @@ def main(argv=None) -> int:
                                          namespace="dumpvdl2_tpu",
                                          station_id=args.station_id))
 
-    decoder = FrameDecoder(fmtr_list)
+    if args.decode_workers > 0:
+        from .parallel_decoder import ParallelFrameDecoder
+        decoder = ParallelFrameDecoder(fmtr_list, args.decode_workers,
+                                       gs_file=args.gs_file,
+                                       bs_db=args.bs_db)
+    else:
+        decoder = FrameDecoder(fmtr_list)
     decoder.start_outputs()
     setup_signals()
 
@@ -300,8 +312,12 @@ def main(argv=None) -> int:
     rc = 1
     try:
         if args.raw_frames_file:
+            # file inputs run unthrottled (dumpvdl2.c:1162,1167): HWM
+            # drop protection only makes sense against live sources
+            Config.output_queue_hwm = 0
             rc = run_raw_frames(args, decoder)
         elif args.iq_file:
+            Config.output_queue_hwm = 0
             rc = run_iq_file(args, decoder)
         elif args.rtlsdr is not None:
             from ..io.rtl import RTL_OVERSAMPLE, SDR_AUTO_GAIN, run_rtlsdr
@@ -391,10 +407,18 @@ def run_raw_frames(args: argparse.Namespace, decoder: FrameDecoder) -> int:
     fh = sys.stdin.buffer if args.raw_frames_file == "-" \
         else open(args.raw_frames_file, "rb")
     try:
-        for decoded in rawframes.read_records(fh):
-            if exit_requested():
-                break
-            decoder.process(decoded)
+        if hasattr(decoder, "process_record"):
+            # parallel decoder: ship undecoded records, workers do the
+            # protobuf decode too
+            for body in rawframes.read_raw_bodies(fh):
+                if exit_requested():
+                    break
+                decoder.process_record(body)
+        else:
+            for decoded in rawframes.read_records(fh):
+                if exit_requested():
+                    break
+                decoder.process(decoded)
     finally:
         if fh is not sys.stdin.buffer:
             fh.close()

@@ -186,8 +186,10 @@ def decode_raw_frame(body: bytes) -> DecodedFrame:
                         frame=np.frombuffer(frame, dtype=np.uint8))
 
 
-def read_records(fh: BinaryIO) -> Iterator[DecodedFrame]:
-    """Replay a raw-frames archive (input-raw_frames_file.c equivalent)."""
+def read_raw_bodies(fh: BinaryIO) -> Iterator[bytes]:
+    """Yield undecoded record bodies (length framing only) — the
+    parallel decoder ships these to workers and defers the protobuf
+    decode there."""
     while True:
         prefix = fh.read(2)
         if len(prefix) < 2:
@@ -198,4 +200,33 @@ def read_records(fh: BinaryIO) -> Iterator[DecodedFrame]:
         body = fh.read(total - 2)
         if len(body) < total - 2:
             return
+        yield body
+
+
+def frame_data_peek(body: bytes) -> bytes:
+    """Return the raw AVLC frame field without decoding the metadata
+    submessage (cheap top-level scan for sharding keys)."""
+    pos = 0
+    while pos < len(body):
+        key, pos = _read_varint(body, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            _, pos = _read_varint(body, pos)
+        elif wire == 5:
+            pos += 4
+        elif wire == 1:
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(body, pos)
+            if field == _RAW_DATA:
+                return bytes(body[pos:pos + ln])
+            pos += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+    return b""
+
+
+def read_records(fh: BinaryIO) -> Iterator[DecodedFrame]:
+    """Replay a raw-frames archive (input-raw_frames_file.c equivalent)."""
+    for body in read_raw_bodies(fh):
         yield decode_raw_frame(body)

@@ -25,19 +25,37 @@ def _build_table() -> np.ndarray:
 CRC_TABLE = _build_table()
 
 
-def crc16_ccitt(data: bytes | np.ndarray, crc_init: int = 0xFFFF) -> int:
-    buf = np.ascontiguousarray(
-        bytearray(data) if isinstance(data, bytes) else data,
-        dtype=np.uint8)
-    from ..native import load_l2host
-    lib = load_l2host()
-    if lib is not None and buf.size:
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        from ..native import load_l2host
+        _LIB = load_l2host()
+    return _LIB
+
+
+def crc16_ccitt(data: bytes | bytearray | np.ndarray,
+                crc_init: int = 0xFFFF) -> int:
+    lib = _lib()
+    if lib is not None and len(data):
         import ctypes
+        if isinstance(data, (bytes, bytearray)):
+            # zero-copy: view the immutable buffer as a uint8 pointer
+            ptr = ctypes.cast(ctypes.c_char_p(bytes(data)),
+                              ctypes.POINTER(ctypes.c_uint8))
+            return int(lib.l2h_crc16_ccitt(ptr, len(data), crc_init))
+        buf = np.ascontiguousarray(data, dtype=np.uint8)
         return int(lib.l2h_crc16_ccitt(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             buf.size, crc_init))
+    if isinstance(data, np.ndarray):
+        data = data.astype(np.uint8).tobytes()
     crc = crc_init
-    for byte in buf.tolist():
+    for byte in data:
         crc = (crc >> 8) ^ int(CRC_TABLE[(crc ^ byte) & 0xFF])
     return crc
 

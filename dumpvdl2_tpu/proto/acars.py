@@ -32,13 +32,11 @@ MSG_DIR_GND2AIR = "gnd2air"
 
 
 def _crc16_arinc(data: bytes) -> int:
-    """ARINC 618 block check sequence: CRC-16/CCITT (reflected), init 0."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = (crc >> 1) ^ 0x8408 if crc & 1 else crc >> 1
-    return crc
+    """ARINC 618 block check sequence: CRC-16/CCITT (reflected), init 0
+    — the same polynomial as the AVLC FCS, so it shares the native CRC
+    (link/crc.py) with a zero initial value."""
+    from ..link.crc import crc16_ccitt
+    return crc16_ccitt(data, 0)
 
 
 class AcarsNode(ProtoNode):

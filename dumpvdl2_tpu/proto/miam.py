@@ -439,6 +439,12 @@ class MiamFileReasm:
         """Returns the full armored PDU when the transfer completes."""
         self._expire(now)
         xfer = self.xfers.get(key)
+        # per-key staleness at access (see proto/reasm.py): decisions
+        # depend only on this transfer's own timestamps
+        if xfer is not None \
+                and now - xfer.first_seen > MIAM_FILE_REASM_TIMEOUT:
+            del self.xfers[key]
+            xfer = None
         if xfer is None:
             xfer = _FileXfer(first_seen=now)
             self.xfers[key] = xfer

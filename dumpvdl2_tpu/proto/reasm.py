@@ -12,6 +12,19 @@ The reference relies on two engines with different keying models
 
 Both engines here share timeout-based expiry and the same status
 vocabulary so formatters can render identical "reasm status" fields.
+
+Expiry semantics: an entry's staleness is decided PER KEY at access
+time (``rx_time - first_seen > timeout`` → the stale entry is dropped
+and the fragment starts a fresh sequence).  The table-wide ``_expire``
+sweep only reclaims memory; it can never change a decode outcome for a
+time-monotonic stream, because any entry it removes would fail the
+access-time check anyway.  This makes reassembly decisions depend only
+on each conversation's own fragment times — a property the parallel
+decoder (app/parallel_decoder.py) relies on: sharding conversations
+across workers cannot change any decision.  (The reference instead
+expires entries during periodic table sweeps, reassembly.c:215-350, so
+its outcomes near the timeout boundary depend on unrelated traffic;
+ours are deterministic per conversation.)
 """
 from __future__ import annotations
 
@@ -65,6 +78,10 @@ class SeqReasmTable:
                      seq_num_wrap: int = -1) -> ReasmStatus:
         self._expire(rx_time)
         entry = self.entries.get(key)
+        if entry is not None and entry.timeout > 0 \
+                and rx_time - entry.first_seen > entry.timeout:
+            del self.entries[key]          # stale: start fresh
+            entry = None
         if entry is None:
             # A lone final fragment needs no reassembly at all.
             if is_final:
@@ -133,6 +150,10 @@ class OffsetReasmTable:
         if offset < 0 or (is_final and total_len < offset + len(data)):
             return ReasmStatus.ARGS_INVALID
         entry = self.entries.get(key)
+        if entry is not None and entry.timeout > 0 \
+                and rx_time - entry.first_seen > entry.timeout:
+            del self.entries[key]          # stale: start fresh
+            entry = None
         if entry is None:
             if offset == 0 and is_final:
                 return ReasmStatus.SKIPPED  # unfragmented PDU

@@ -120,7 +120,12 @@ def test_second_signal_forces_exit():
     except subprocess.TimeoutExpired:
         p.kill()
         pytest.fail("CLI did not force-quit on second signal")
-    assert p.returncode in (1, 130)
+    # 1 = handler force-quit, 130 = orderly exit completed first,
+    # -SIGTERM = the orderly exit was already in interpreter
+    # finalization (handlers restored) when signal #2 landed — with a
+    # warm compile cache the drain can beat the 0.3 s gap.  All three
+    # mean "exited promptly".
+    assert p.returncode in (1, 130, -signal.SIGTERM)
 
 
 # ------------------------------------------------------------ stats funnel

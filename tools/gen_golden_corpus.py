@@ -50,6 +50,8 @@ T0 = 1755600000                      # fixed epoch: deterministic output
 
 GS_ADDR = 0x104050                   # ground station
 AC_ADDR = 0xA12345                   # aircraft
+REG = ".N12345"                      # aircraft registration
+FLIGHT = "AB1234"
 
 NAK, STX, ETX, ETB = 0x15, 0x02, 0x03, 0x17
 
@@ -104,9 +106,11 @@ def _crc16_arinc(data: bytes) -> int:
     return crc
 
 
-def acars_block(mode="2", reg=".N12345", label="H1", blk="2",
-                msg_num="M01A", flight="AB1234", text="", raw_text=b"",
+def acars_block(mode="2", reg=None, label="H1", blk="2",
+                msg_num="M01A", flight=None, text="", raw_text=b"",
                 suffix=ETX, downlink=True) -> bytes:
+    reg = REG if reg is None else reg
+    flight = FLIGHT if flight is None else flight
     body_txt = raw_text if raw_text else text.encode("latin-1")
     prelude = (msg_num + flight).encode() if downlink else b""
     body = (mode + reg).encode() + bytes([NAK]) + label.encode() + \
@@ -212,7 +216,18 @@ def cpdlc_downlink_wilco_buf() -> bytes:
 
 # ---------------------------------------------------------------- corpus
 
-def build_corpus() -> list[bytes]:
+def build_corpus(gs_addr: int = 0x104050, ac_addr: int = 0xA12345,
+                 reg: str = ".N12345", flight: str = "AB1234"
+                 ) -> list[bytes]:
+    """Build the full protocol-breadth frame sequence for ONE aircraft.
+
+    The identity parameters let tools/gen_bench_archive.py synthesize
+    whole fleets of distinct conversations; the defaults reproduce the
+    committed golden corpus byte for byte.
+    """
+    global GS_ADDR, AC_ADDR, REG, FLIGHT
+    GS_ADDR, AC_ADDR, REG, FLIGHT = gs_addr, ac_addr, reg, flight
+    _ISEQ["n"] = 0
     frames: list[bytes] = []
 
     # --- XID: GSIF broadcast + LE response -------------------------------
@@ -278,7 +293,7 @@ def build_corpus() -> list[bytes]:
     at1 = rt.encode(FANS, "FANSATCDownlinkMessage", fans_msg)
     frames.append(acars_frame(label="B6", blk="4",
                               raw_text=wrap_ats("USADCDYA", "AT1",
-                                                ".N12345", at1)))
+                                                REG, at1)))
 
     # --- ARINC 622: FANS connect request (CR1) ---------------------------
     cr1_msg = {
@@ -290,7 +305,7 @@ def build_corpus() -> list[bytes]:
     cr1 = rt.encode(FANS, "FANSATCDownlinkMessage", cr1_msg)
     frames.append(acars_frame(label="A6", blk="5",
                               raw_text=wrap_ats("USADCDYA", "CR1",
-                                                ".N12345", cr1)))
+                                                REG, cr1)))
 
     # --- ARINC 622: ADS-C v1 basic report + flight id --------------------
     def _put_bits(spec):
@@ -313,7 +328,7 @@ def build_corpus() -> list[bytes]:
     adsc = bytes([7]) + basic + bytes([12]) + fid
     frames.append(acars_frame(label="B6", blk="6",
                               raw_text=wrap_ats("USADCDYA", "ADS",
-                                                ".N12345", adsc)))
+                                                REG, adsc)))
 
     # --- X.25 call request with facilities + SNDCF -----------------------
     call = bytes([0x1B, 0xFF, 0x0B, 0x00])
