@@ -115,6 +115,33 @@ def test_worker_output_byte_parity(fleet_archive, tmp_path):
     assert outs[0][0].count(b"\n\n") > 100     # sanity: real volume
 
 
+@pytest.mark.golden
+def test_iq_file_path_through_workers(tmp_path):
+    """The live-pipeline path (process_all of DecodedFrames) also
+    yields byte-identical output under --decode-workers."""
+    wav = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
+    if not os.path.exists(wav):
+        pytest.skip("bundled reference capture not available")
+    outs = {}
+    for workers in (0, 2):
+        out = tmp_path / f"iq{workers}.txt"
+        args = ["--iq-file", wav, "--sample-format", "S16_LE",
+                "--extended-header", "--utc",
+                "--output", f"decoded:text:file:path={out}"]
+        if workers:
+            args += ["--decode-workers", str(workers)]
+        r = run_cli(args)
+        assert r.returncode == 0, r.stderr.decode()
+        # normalize the wall-clock burst timestamps (live decode stamps
+        # frames with time.time(), so two runs differ only there)
+        import re
+        outs[workers] = re.sub(
+            rb"\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \w+\]", b"[TS]",
+            out.read_bytes())
+    assert outs[0] == outs[2]
+    assert outs[0].count(b"\n\n") >= 2
+
+
 def test_stats_funnel_merged_from_workers(tmp_path):
     """Worker-side counters reach the parent's global sink."""
     from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
