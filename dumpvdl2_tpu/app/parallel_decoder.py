@@ -144,6 +144,9 @@ class ParallelFrameDecoder:
     def __init__(self, fmtr_list: list[FormatterInstance], workers: int,
                  gs_file: Optional[str] = None,
                  bs_db: Optional[str] = None) -> None:
+        if workers < 1:
+            raise ValueError("decode workers must be >= 1 "
+                             "(use FrameDecoder for in-process decode)")
         from ..io.formatters import FORMATTERS
         self.fmtr_list = fmtr_list
         fmtr_specs = []
