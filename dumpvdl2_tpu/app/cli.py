@@ -191,6 +191,48 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _maybe_print_spec_help(args: argparse.Namespace) -> bool:
+    """``--output help`` / ``--msg-filter help`` / ``--debug help``
+    print the available values and exit, like the reference
+    (dumpvdl2.c:254,631; output-common.c:189-220)."""
+    did = False
+    if args.msg_filter == "help":
+        from ..config import MSG_FILTERSPEC
+        print("<filter_spec> is a comma-separated list of message types"
+              " to display; prefix a type\nwith '-' to remove it from"
+              " the filter (last match wins).  Supported types:\n")
+        for name, (_mask, desc) in MSG_FILTERSPEC.items():
+            print(f"  {name:<20}{desc}")
+        did = True
+    if args.debug == "help":
+        from ..utils.debug import DEBUG_FILTERSPEC
+        print("<filter_spec> is a comma-separated list of debug message"
+              " classes (prefix with '-'\nto disable a class; last"
+              " match wins).  Supported classes:\n")
+        for name, (_bit, desc) in DEBUG_FILTERSPEC.items():
+            print(f"  {name:<16}{desc}")
+        did = True
+    if "help" in (args.output or []):
+        from ..io.formatters import FORMATTERS
+        from ..io.outputs import OUTPUTS
+        print("<output_specifier> is a ':'-separated specification of "
+              "the message source,\nformat and destination:\n\n"
+              "  <what_to_output>:<output_format>:"
+              "<output_type>:<output_parameters>\n")
+        print("Available message sources: decoded, raw\n")
+        print("Available output formats:")
+        for name, fd in FORMATTERS.items():
+            kinds = [k for k in ("decoded", "raw")
+                     if fd.supports_data_type(k)]
+            print(f"  {name:<12}(for {', '.join(kinds)} frames)")
+        print("\nAvailable output types:")
+        for name, cls in OUTPUTS.items():
+            fmts = ", ".join(cls.supported_formats)
+            print(f"  {name:<12}(formats: {fmts})")
+        did = True
+    return did
+
+
 def apply_config(args: argparse.Namespace) -> None:
     from ..config import AddrInfoVerbosity
     if args.debug:
@@ -267,6 +309,8 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if _maybe_print_spec_help(args):
+        return 0
     apply_config(args)
     if args.platform:
         import jax

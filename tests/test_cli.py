@@ -70,3 +70,17 @@ def test_cli_no_input():
     r = run_cli([])
     assert r.returncode == 1
     assert b"no input specified" in r.stderr
+
+
+def test_spec_help_listings():
+    """--output/--msg-filter/--debug accept "help" like the reference
+    (dumpvdl2.c:254,631)."""
+    r = run_cli(["--msg-filter", "help"])
+    assert r.returncode == 0
+    assert b"acars_data" in r.stdout and b"cpdlc" in r.stdout
+    r = run_cli(["--debug", "help"])
+    assert r.returncode == 0
+    assert b"burst_detail" in r.stdout
+    r = run_cli(["--output", "help"])
+    assert r.returncode == 0
+    assert b"pp_acars" in r.stdout and b"zmq" in r.stdout
