@@ -116,6 +116,29 @@ def test_worker_output_byte_parity(fleet_archive, tmp_path):
 
 
 @pytest.mark.golden
+def test_enrichment_loads_in_workers(fleet_archive, tmp_path):
+    """--gs-file enrichment is applied inside workers and output stays
+    byte-identical to the single-process decoder."""
+    gs = tmp_path / "gs.txt"
+    gs.write_text("".join(
+        f"{0x104050 + i:06X} [TST{i} Test Field VDL] [Testville {i}]\n"
+        for i in range(7)))
+    outs = {}
+    for workers in (0, 2):
+        out = tmp_path / f"gs{workers}.txt"
+        args = ["--raw-frames-file", str(fleet_archive), "--utc",
+                "--gs-file", str(gs), "--addrinfo", "verbose",
+                "--output", f"decoded:text:file:path={out}"]
+        if workers:
+            args += ["--decode-workers", str(workers)]
+        r = run_cli(args)
+        assert r.returncode == 0, r.stderr.decode()
+        outs[workers] = out.read_bytes()
+    assert outs[0] == outs[2]
+    assert b"Test Field" in outs[2]      # enrichment reached the output
+
+
+@pytest.mark.golden
 def test_iq_file_path_through_workers(tmp_path):
     """The live-pipeline path (process_all of DecodedFrames) also
     yields byte-identical output under --decode-workers."""
