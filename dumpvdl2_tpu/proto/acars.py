@@ -113,8 +113,11 @@ class AcarsNode(ProtoNode):
         obj["msg_text"] = self.txt
 
 
+_STRIP_PARITY = bytes(i & 0x7F for i in range(256))
+
+
 def _printable(raw: bytes) -> str:
-    return "".join(chr(b & 0x7F) for b in raw)
+    return raw.translate(_STRIP_PARITY).decode("latin-1")
 
 
 def _maybe_prettify(txt: str) -> str:

@@ -52,13 +52,14 @@ class BitReader:
         if n < 0 or self.pos + n > self.nbits:
             raise UperDecodeError(
                 f"starved: want {n} bits at {self.pos}/{self.nbits}")
-        v = 0
         pos = self.pos
-        for _ in range(n):
-            v = (v << 1) | ((self.buf[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return v
+        end = pos + n
+        first = pos >> 3
+        chunk = int.from_bytes(self.buf[first:(end + 7) >> 3], "big")
+        # bits [pos-8*first, ...+n) of the chunk, MSB first
+        self.pos = end
+        total = (((end + 7) >> 3) - first) * 8
+        return (chunk >> (total - (end - 8 * first))) & ((1 << n) - 1)
 
     def bytes_(self, n: int) -> bytes:
         if (self.pos & 7) == 0:   # byte-aligned fast path

@@ -90,11 +90,14 @@ def hex_str(data: bytes) -> str:
     """Single-line lowercase hex with single-space separators."""
     if len(data) == 0:
         return "none"
-    return " ".join(f"{b:02x}" for b in data)
+    return bytes(data).hex(" ")
+
+
+_PRINTABLE = bytes(i if 32 <= i <= 126 else 0x2E for i in range(256))
 
 
 def printable(data: bytes) -> str:
-    return "".join(chr(b) if 32 <= b <= 126 else "." for b in data)
+    return bytes(data).translate(_PRINTABLE).decode("ascii")
 
 
 def hexdump(data: bytes) -> str:
