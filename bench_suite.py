@@ -192,6 +192,10 @@ def bench_e2e_streaming():
     def run():
         pipe.feed_planar(planar)
 
+    # the carried-history shape grows after the FIRST block (0 -> halo),
+    # so two distinct programs compile; warm both before timing or the
+    # first timed repeat measures an XLA compile, not throughput
+    run()
     dt = _median_time(run)
     msps = N / dt / 1e6
     return _with_spread(
