@@ -313,6 +313,20 @@ def main(argv=None) -> int:
         return 0
     apply_config(args)
     if args.platform:
+        if args.platform == "cpu" and args.mesh:
+            # CPU mesh runs (development/testing) self-provision the
+            # virtual devices the mesh needs, like dryrun_multichip
+            try:
+                n = 1
+                for v in args.mesh.lower().split("x"):
+                    n *= int(v)
+                flags = os.environ.get("XLA_FLAGS", "")
+                if "host_platform_device_count" not in flags:
+                    os.environ["XLA_FLAGS"] = (
+                        f"{flags} --xla_force_host_platform_device_"
+                        f"count={n}").strip()
+            except ValueError:
+                pass                # bad --mesh spec: reported later
         import jax
         jax.config.update("jax_platforms", args.platform)
     _enable_compile_cache()

@@ -74,3 +74,15 @@ def test_mesh_channel_sharded_synthetic():
                                mesh_shape=(2, 2)))
     assert single, "single-device pipeline decoded nothing"
     assert mesh == single
+
+
+def test_mesh_cpu_self_provisions_devices(reference_wav):
+    """--mesh on a 1-device CPU host forces the virtual devices it
+    needs (no pre-set XLA_FLAGS required)."""
+    r = run_cli(["--iq-file", str(reference_wav),
+                 "--sample-format", "S16_LE", "--extended-header",
+                 "--utc", "--mesh", "1x2"],
+                extra_env={"XLA_FLAGS": ""})
+    assert r.returncode == 0, r.stderr.decode()
+    with open(os.path.join(FIXTURES, "golden_capture.txt")) as f:
+        assert _norm_text(r.stdout.decode()) == _norm_text(f.read())
