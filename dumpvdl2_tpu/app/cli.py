@@ -38,6 +38,16 @@ def parse_frequency(s: str) -> int:
         raise argparse.ArgumentTypeError(f"invalid frequency: {s!r}")
 
 
+def _nonneg_int(s: str) -> int:
+    try:
+        v = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"invalid integer: {s!r}")
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0: {s!r}")
+    return v
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dumpvdl2_tpu",
@@ -182,7 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the DSP sharded over a (channel x time) "
                          "device mesh, e.g. 2x4 (channel count must "
                          "divide evenly into C shards)")
-    gt.add_argument("--decode-workers", type=int, default=0, metavar="N",
+    gt.add_argument("--decode-workers", type=_nonneg_int, default=0,
+                    metavar="N",
                     help="fan the host protocol stack (L3/L4) out over "
                          "N worker processes with reassembly-affinity "
                          "sharding and in-order emission (0 = decode "

@@ -100,12 +100,20 @@ def _worker_main(worker_id: int, inq, outq, fmtr_specs, config_fields,
             return
         results = []
         for seq, metadata, frame in msg[1]:
-            if metadata is None:       # raw archive record: decode here
-                decoded = decode_raw_frame(frame)
-                metadata = decoded.metadata
-                frame = bytes(decoded.frame)
+            # worker-decoded metadata shipped back to the parent so
+            # output.push sees the same metadata as in-process decode
+            shipped_meta = None
             msgs: list = [None] * len(fmtrs)
+            # the whole per-record body is fenced: a corrupt raw-frames
+            # record (or any per-frame decode crash) is reported and
+            # skipped, never kills the worker — the parent relies on
+            # every seq coming back to keep its in-order emission and
+            # backpressure accounting live
             try:
+                if metadata is None:   # raw archive record: decode here
+                    decoded = decode_raw_frame(frame)
+                    metadata = shipped_meta = decoded.metadata
+                    frame = bytes(decoded.frame)
                 t0 = time.monotonic()
                 stats.increment_per_channel(metadata.freq,
                                             "avlc.frames.processed")
@@ -129,7 +137,7 @@ def _worker_main(worker_id: int, inq, outq, fmtr_specs, config_fields,
                              (time.monotonic() - t0) * 1000.0)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
-            results.append((seq, msgs))
+            results.append((seq, msgs, shipped_meta))
         counters = dict(stats.counters)
         timings = {k: list(v) for k, v in stats.timings.items()}
         stats.reset()
@@ -220,8 +228,11 @@ class ParallelFrameDecoder:
             self._seq += 1
             if isinstance(item, bytes):            # raw archive record
                 self._meta[seq] = None
-                batches[shard_key(frame_data_peek(item)) % nw].append(
-                    (seq, None, item))
+                try:
+                    key = shard_key(frame_data_peek(item))
+                except Exception:
+                    key = 0    # corrupt record: let a worker report it
+                batches[key % nw].append((seq, None, item))
             else:
                 frame = bytes(item.frame)
                 self._meta[seq] = item.metadata
@@ -232,7 +243,16 @@ class ParallelFrameDecoder:
             if batch:
                 self._inqs[wid].put(("batch", batch))
         while self._seq - self._emit_seq > MAX_IN_FLIGHT:
-            self._drain(block=True)
+            # blocking backpressure must not spin forever if a worker
+            # process died: its in-flight seqs would never come back
+            if self._drain(block=True) == 0 \
+                    and any(not p.is_alive() for p in self._procs):
+                lost = self._seq - self._emit_seq
+                print(f"warning: parallel decoder lost {lost} in-flight "
+                      f"frames (worker process died)", file=sys.stderr)
+                raise RuntimeError("decode worker process died; aborting "
+                                   "(rerun without --decode-workers to "
+                                   "decode in-process)")
 
     # --------------------------------------------------------------- results
     def _merge_stats(self, counters: dict, timings: dict) -> None:
@@ -253,16 +273,18 @@ class ParallelFrameDecoder:
             except queue_mod.Empty:
                 break
             if msg[0] == "results":
-                for seq, msgs in msg[1]:
-                    self._ready[seq] = msgs
+                for seq, msgs, shipped_meta in msg[1]:
+                    self._ready[seq] = (msgs, shipped_meta)
                 self._merge_stats(msg[2], msg[3])
                 got += 1
             elif msg[0] == "stopped":
                 self._stopped += 1
                 got += 1
         while self._emit_seq in self._ready:
-            msgs = self._ready.pop(self._emit_seq)
+            msgs, shipped_meta = self._ready.pop(self._emit_seq)
             metadata = self._meta.pop(self._emit_seq)
+            if metadata is None:       # raw record: worker decoded it
+                metadata = shipped_meta
             for i, fmtr in enumerate(self.fmtr_list):
                 if msgs[i] is None:
                     continue
@@ -279,7 +301,9 @@ class ParallelFrameDecoder:
         deadline = time.monotonic() + 30.0
         while self._stopped < len(self._procs) \
                 and time.monotonic() < deadline:
-            self._drain(block=True)
+            if self._drain(block=True) == 0 \
+                    and all(not p.is_alive() for p in self._procs):
+                break              # dead workers will never ack "stop"
         self._drain(block=False)
         if self._emit_seq != self._seq:
             print(f"warning: parallel decoder lost "

@@ -44,7 +44,8 @@ def crc16_ccitt(data: bytes | bytearray | np.ndarray,
     if lib is not None and len(data):
         import ctypes
         if isinstance(data, (bytes, bytearray)):
-            # zero-copy: view the immutable buffer as a uint8 pointer
+            # at most one copy (bytes(bytearray)); avoids the numpy
+            # ascontiguousarray round-trip of the ndarray branch
             ptr = ctypes.cast(ctypes.c_char_p(bytes(data)),
                               ctypes.POINTER(ctypes.c_uint8))
             return int(lib.l2h_crc16_ccitt(ptr, len(data), crc_init))

@@ -188,3 +188,78 @@ def test_stats_funnel_merged_from_workers(tmp_path):
     key = "channels.136975000.avlc.frames.processed"
     assert stats.counters.get(key) == 28
     assert stats.timings.get("decoder.msg.processing_time")
+
+
+def test_corrupt_record_does_not_kill_worker(tmp_path):
+    """A malformed raw-frames record is reported and skipped — the
+    worker stays alive, every other frame still decodes, and the parent
+    loses no in-flight frames (parallel_decoder.py worker fencing)."""
+    from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
+    from dumpvdl2_tpu.app.stats import stats
+    from dumpvdl2_tpu.config import Config
+    from dumpvdl2_tpu.io import rawframes
+    from dumpvdl2_tpu.io.outputs import setup_output
+
+    stats.reset()
+    Config.output_queue_hwm = 0
+    out = tmp_path / "o.txt"
+    fmtr_list = []
+    setup_output(f"decoded:text:file:path={out}", fmtr_list)
+    dec = ParallelFrameDecoder(fmtr_list, 2)
+    dec.start_outputs()
+    corpus = os.path.join(REPO, "tests", "fixtures",
+                          "proto_corpus.frames")
+    with open(corpus, "rb") as fh:
+        bodies = list(rawframes.read_raw_bodies(fh))
+    # interleave garbage that breaks both frame_data_peek (parent) and
+    # decode_raw_frame (worker): truncated varints / bogus wire types
+    for i, body in enumerate(bodies):
+        dec.process_record(body)
+        if i % 5 == 0:
+            dec.process_record(b"\xff\xff\xff\xff\xff\xff")
+    dec.shutdown()
+    key = "channels.136975000.avlc.frames.processed"
+    assert stats.counters.get(key) == 28     # every good frame decoded
+    assert out.read_bytes().count(b"\n\n") >= 28
+
+
+def test_raw_record_metadata_reaches_outputs(tmp_path):
+    """Worker-decoded metadata for raw archive records is shipped back
+    to the parent so output.push sees the same metadata as the
+    single-process decoder (not None)."""
+    from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
+    from dumpvdl2_tpu.config import Config
+    from dumpvdl2_tpu.io import rawframes
+    from dumpvdl2_tpu.io.outputs import setup_output
+
+    Config.output_queue_hwm = 0
+    fmtr_list = []
+    setup_output(f"decoded:text:file:path={tmp_path/'o.txt'}", fmtr_list)
+    seen = []
+    output = fmtr_list[0].outputs[0]
+    orig_push = output.push
+
+    def spy_push(metadata, msg, shutdown=False):
+        if not shutdown and msg is not None:
+            seen.append(metadata)
+        return orig_push(metadata, msg, shutdown=shutdown)
+
+    output.push = spy_push
+    dec = ParallelFrameDecoder(fmtr_list, 2)
+    dec.start_outputs()
+    corpus = os.path.join(REPO, "tests", "fixtures",
+                          "proto_corpus.frames")
+    with open(corpus, "rb") as fh:
+        for body in rawframes.read_raw_bodies(fh):
+            dec.process_record(body)
+    dec.shutdown()
+    assert seen and all(m is not None for m in seen)
+    assert all(m.freq == 136975000 for m in seen)
+
+
+def test_negative_decode_workers_rejected():
+    """--decode-workers -4 must be an argparse error, not a silent
+    fall-back to in-process decode."""
+    r = run_cli(["--decode-workers", "-4", "--iq-file", "/dev/null"])
+    assert r.returncode == 2
+    assert b"must be >= 0" in r.stderr
