@@ -250,6 +250,98 @@ def bench_wideband_256ch():
         lambda t: N / t / 1e6)
 
 
+def bench_wideband_e2e_256ch():
+    """Config 7 (north star): 256-channel wideband span END-TO-END.
+
+    Unlike ``wideband_256ch`` (device kernel only), this drives the
+    FULL application path per block: fused device step -> coalesced
+    candidate drain -> host L2 -> protocol stack -> text output, with
+    the parallel host decoder (--decode-workers 2), on a span carrying
+    synthetic bursts spread across many channels at a realistic duty
+    cycle.  The metric is sustained ingest Msamples/s through feed();
+    1x realtime for the whole 8.4 Msps span = 256 channels live.
+    Decode completeness is asserted through the OUTPUT text (every
+    distinct payload recovered), not through kernel counters.
+    """
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
+    from dumpvdl2_tpu.config import Config
+    from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE
+    from dumpvdl2_tpu.core.pipeline import VDL2Pipeline
+    from dumpvdl2_tpu.dsp.frontend import to_planar
+    from dumpvdl2_tpu.io.outputs import setup_output
+    from dumpvdl2_tpu.sim import synthesize_iq_raw
+
+    os_, C = 80, 256
+    fs = SYMBOL_RATE * SPS * os_                     # 8.4 Msps
+    center = 136.975e6
+    freqs = [int(center - 25e3 * (i - C // 2)) for i in range(C)]
+
+    N = 1 << 22                                      # ~0.5 s of span
+    rng = np.random.default_rng(7)
+    sig = (rng.standard_normal(N) + 1j * rng.standard_normal(N)) \
+        .astype(np.complex64) * 0.02
+    # bursts on 24 distinct channels, staggered through the block
+    # (~10% airtime duty on each active channel); channels on a
+    # stride-4 grid so the rectangular-pulse synth's sidelobes don't
+    # collide with another ACTIVE channel (adjacent-channel ghosts of
+    # real traffic still occur and still flow through the host stack,
+    # exactly as on air)
+    n_active = 24
+    active = rng.choice(np.arange(0, C, 4), size=n_active, replace=False)
+    payloads = [b"wideband e2e burst ch%03d payload " % ch * 4
+                for ch in active]
+    for k, (ch, payload) in enumerate(zip(active, payloads)):
+        burst = synthesize_iq_raw(
+            [payload], oversample=os_,
+            carrier_offset_hz=freqs[ch] - center,
+            seed=int(ch)).astype(np.complex64)
+        off = 60000 + (k * (N - 2 * 60000 - burst.size)) // n_active
+        sig[off:off + burst.size] += burst * 0.5
+
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "wideband.txt")
+        Config.output_queue_hwm = 0                  # file input: no HWM
+        fmtr_list = []
+        setup_output(f"decoded:text:file:path={out_path}", fmtr_list)
+        decoder = ParallelFrameDecoder(fmtr_list, 2)
+        decoder.start_outputs()
+        pipe = VDL2Pipeline(freqs, int(center), int(fs), os_)
+        planar = jnp.asarray(to_planar(sig))         # ingest DMAs device-side
+
+        def run():
+            frames = pipe.feed_planar(planar)
+            decoder.process_all(frames)
+
+        run()    # warm the second carried-history shape (halo > 0)
+        dt = _median_time(run)
+        decoder.shutdown()
+        # every active channel's distinct payload must appear in the
+        # decoded text output.  The AVLC parser consumes the first
+        # payload octets as addresses/control, so match on a payload
+        # SUFFIX (inside the hexdumped data section); whitespace is
+        # stripped so hexdump wrapping and "%02x " separators don't
+        # matter.
+        flat = b"".join(open(out_path, "rb").read().split())
+        got = sum(1 for p in payloads if p[-40:].hex().encode() in flat)
+        assert got == n_active, \
+            f"only {got}/{n_active} distinct payloads in decoded output"
+
+    msps = N / dt / 1e6
+    spans = msps / (fs / 1e6)
+    return _with_spread(
+        {"metric": "wideband_e2e_256ch_msamples_per_sec",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "channels_at_realtime": int(spans * C),
+         "decoded_payloads": int(got),
+         "vs_baseline": round(spans, 2)},
+        lambda t: N / t / 1e6)
+
+
 def bench_raw_replay():
     """Config 6: host protocol stack bulk replay (archive reprocess).
 
@@ -308,6 +400,7 @@ BENCHES = {
     "bit_level_decode": bench_bit_level_decode,
     "e2e_streaming": bench_e2e_streaming,
     "wideband_256ch": bench_wideband_256ch,
+    "wideband_e2e_256ch": bench_wideband_e2e_256ch,
     "raw_replay": bench_raw_replay,
 }
 

@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pretty-print XML payloads in ACARS messages")
     go.add_argument("--prettify-json", action="store_true",
                     help="pretty-print JSON payloads in MIAM frames")
+    go.add_argument("--miam", choices=("auto", "off"), default="auto",
+                    help="MIAM CORE decoding: 'auto' uses this "
+                         "framework's reconstructed CORE codec (see "
+                         "README provenance note), 'off' shows MIAM "
+                         "frame text raw (default: auto)")
     go.add_argument("--station-id", default=None,
                     help="station identifier added to messages")
     go.add_argument("--msg-filter", default="all",
@@ -264,6 +269,7 @@ def apply_config(args: argparse.Namespace) -> None:
     Config.decode_fragments = args.decode_fragments
     Config.prettify_xml = args.prettify_xml
     Config.prettify_json = args.prettify_json
+    Config.miam = args.miam
     Config.addrinfo_verbosity = AddrInfoVerbosity[args.addrinfo.upper()]
 
 

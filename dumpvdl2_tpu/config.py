@@ -93,6 +93,10 @@ class Dumpvdl2Config:
     dump_asn1: bool = False
     extended_header: bool = False
     decode_fragments: bool = False
+    # "auto": decode MIAM with this framework's RECONSTRUCTED CORE
+    # codec (see proto/miam.py provenance note); "off": show MIAM
+    # frames' text raw, for operators who prefer no conjectural decode
+    miam: str = "auto"
     prettify_xml: bool = False
     prettify_json: bool = False
     ac_addrinfo_db_available: bool = False

@@ -26,7 +26,7 @@ from ..dsp.frontend import bandpass_channelize, to_planar
 from ..parallel.mesh import make_mesh
 from ..parallel.sharded import (BACK_HALO, ShardedState, init_sharded_state,
                                 make_sharded_step)
-from .pipeline import DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline
+from .pipeline import DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline, _mag16
 
 # Forward halo: a whole max-length burst fits ahead of any detection
 # point in a shard's fresh region.
@@ -118,7 +118,7 @@ class MeshPipeline(VDL2Pipeline):
             # to the true stream position for the next (normal) block.
             self.state = self._with_n0(self.state, self.global_raw)
 
-        l2 = self._launch_l2_flat(cands)      # dispatch before any fetch
+        l2, l2_inv = self._launch_l2_flat(cands)   # dispatch pre-fetch
         override_info = None
         if override_state:
             prepend_dec = prepend.shape[1] // self.oversample
@@ -130,7 +130,7 @@ class MeshPipeline(VDL2Pipeline):
         # block late re-reads from the raw tail, which _push_tail sizes
         # to retain one extra block for exactly this case.
         frames = self._drain_pending()
-        self._pending = (cands, l2, pwr3, base_raw, override_info)
+        self._pending = (cands, l2, l2_inv, pwr3, base_raw, override_info)
         if eof:
             frames.extend(self.finish())
         return frames
@@ -138,11 +138,18 @@ class MeshPipeline(VDL2Pipeline):
     def _drain_pending(self):
         if self._pending is None:
             return []
-        cands, l2, pwr3, base_raw, override_info = self._pending
+        cands, l2, l2_inv, pwr3, base_raw, override_info = self._pending
         self._pending = None
-        # one roundtrip: candidate fields + pwr3 + device-L2 results
-        merged, l2_map, (pwr3_np, l2_np) = self._merge_candidates(
-            cands, skip_big=l2 is not None, extra=(pwr3, l2))
+        # one roundtrip: candidate fields + magnitudes + device-L2
+        # results (sqrt + f16 cast run on device, see pipeline._mag16)
+        merged, l2_map, (pwr3_np, l2_np, inv_np) = self._merge_candidates(
+            cands, skip_big=l2 is not None,
+            extra=(_mag16(pwr3), l2, l2_inv))
+        if inv_np is not None:
+            # compacted L2 batch: translate flat slot ids to batch rows
+            # (-1 entries overflowed the cap; the candidate loop counts
+            # them as demod.sync.overflow)
+            l2_map = inv_np[l2_map]
         nf_base = base_raw // self.oversample
         if override_info is not None:
             # drop tracker entries that re-cover prepended samples: the
@@ -205,13 +212,13 @@ class MeshPipeline(VDL2Pipeline):
         # precede every unprocessed detection (margin covers them).
         cands = self._demod_fn(np.asarray(dec), SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
-        l2 = self._launch_l2(cands)
-        import jax
-        fetched, l2_np = jax.device_get(
-            (self._candidate_fields(cands, l2), l2))   # one roundtrip
+        l2, l2_map = self._launch_l2(cands)
+        from ..utils.fetch import coalesced_get
+        fetched, l2_np, l2_map_np = coalesced_get(
+            (self._candidate_fields(cands, l2), l2, l2_map))
         return frames0 + self._process_candidates(
             cands, start_raw // self.oversample, eof=True, l2=l2,
-            fetched=fetched, l2_np=l2_np)
+            l2_map=l2_map_np, fetched=fetched, l2_np=l2_np)
 
     # --------------------------------------------------------- helpers
     def _push_tail(self, planar: np.ndarray) -> None:
@@ -268,15 +275,15 @@ class MeshPipeline(VDL2Pipeline):
         ``extra``: optional pytree of additional device values to fetch
         in the SAME device_get (one roundtrip); returned fetched as a
         third element when given."""
-        import jax
         import numpy as np
+
+        from ..utils.fetch import coalesced_get
         big = ("symbols", "power") if skip_big else ()
         names = [f for f in cands._fields if f != "count" and f not in big]
-        # one coalesced device_get (count + every small field + extra)
-        fetched = jax.device_get(
+        # ONE transfer: count + every small field + extra, bit-packed
+        fetched, extra_np = coalesced_get(
             (tuple([cands.count] + [getattr(cands, f) for f in names]),
              extra))
-        fetched, extra_np = fetched
         count = fetched[0]                       # (Tn, C)
         arrs = dict(zip(names, fetched[1:]))
         for f in big:
@@ -307,12 +314,29 @@ class MeshPipeline(VDL2Pipeline):
         return merged, l2_map
 
     def _launch_l2_flat(self, cands):
+        """Sharded-step analog of VDL2Pipeline._launch_l2: compact the
+        (Tn, C, K) candidate slots on device so the L2 batch and its
+        host fetch scale with the detection cap, not Tn*C*K.  Returns
+        ``(l2, inv)`` where ``inv`` maps flat slot index -> L2 batch
+        row (-1 = overflowed the cap)."""
         if not self.use_device_l2:
-            return None
+            return None, None
         import jax.numpy as jnp
         from ..fec.l2_tpu import l2_decode_batch
+        Tn, C, K = cands.det_idx.shape
+        total = Tn * C * K
         syms = jnp.reshape(jnp.asarray(cands.symbols),
-                           (-1, MAX_BURST_SYMS))
+                           (total, MAX_BURST_SYMS))
         pwr = jnp.reshape(jnp.asarray(cands.power),
-                          (-1, MAX_BURST_SYMS))
-        return l2_decode_batch(syms, MAX_BURST_SYMS, pwr)
+                          (total, MAX_BURST_SYMS))
+        cap = min(total, max(256, 4 * Tn * C))
+        if cap >= total:
+            return l2_decode_batch(syms, MAX_BURST_SYMS, pwr), None
+        k_idx = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        valid = (k_idx < jnp.asarray(cands.count)[:, :, None]) \
+            .reshape(total)
+        order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+        take = order[:cap]
+        inv = jnp.full((total,), -1, jnp.int32)
+        inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
+        return l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take]), inv

@@ -62,6 +62,21 @@ def _error_counter(reason: str) -> str:
     return "decoder.errors." + reason
 
 
+_MAG16 = None
+
+
+def _mag16(pwr3):
+    """Device-side sqrt + cast: ship noise-tracker magnitudes as f16
+    (half the link bytes of the power array, and the host never pays
+    the (C, M/3) sqrt)."""
+    global _MAG16
+    if _MAG16 is None:
+        import jax
+        import jax.numpy as jnp
+        _MAG16 = jax.jit(lambda p: jnp.sqrt(p).astype(jnp.float16))
+    return _MAG16(pwr3)
+
+
 def _resolve_device_l2() -> bool:
     """Decide ONCE whether L2 burst decode runs batched on the device.
 
@@ -142,18 +157,41 @@ class VDL2Pipeline:
         """Dispatch the batched device L2 decode for a candidate set.
 
         Called with ``cands.symbols`` still a device array so no host
-        round-trip happens; returns the lazy result dict (fetched in
-        _process_candidates only if any candidate survives gating).
+        round-trip happens; returns ``(l2, l2_map)`` — the lazy result
+        dict plus a (C, K) map from candidate slot to L2 batch row.
+
+        Candidate slots are COMPACTED on device first: only slots
+        ``k < count[c]`` hold real detections, so the L2 batch (and the
+        result arrays later fetched over the host link) scales with the
+        detection cap, not with C*K.  On wideband configs (C=256, K=64)
+        this is the difference between decoding 16384 mostly-empty
+        5616-symbol slots per block and ~256 real ones — without it the
+        result fetch alone breaks realtime on a latency/bandwidth-bound
+        device link.  Slots that overflow the cap map to -1; the host
+        counts them as demod.sync.overflow (same semantics as the
+        per-channel K cap).
         """
         if not self.use_device_l2:
-            return None
+            return None, None
         from ..fec.l2_tpu import l2_decode_batch
         import jax.numpy as jnp
+        C, K = len(self.channels), self.max_candidates
+        total = C * K
         syms = jnp.reshape(jnp.asarray(cands.symbols),
-                           (-1, MAX_BURST_SYMS))
+                           (total, MAX_BURST_SYMS))
         pwr = jnp.reshape(jnp.asarray(cands.power),
-                          (-1, MAX_BURST_SYMS))
-        return l2_decode_batch(syms, MAX_BURST_SYMS, pwr)
+                          (total, MAX_BURST_SYMS))
+        cap = min(total, max(256, 4 * C))
+        if cap >= total:
+            return l2_decode_batch(syms, MAX_BURST_SYMS, pwr), None
+        k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = (k_idx < jnp.asarray(cands.count)[:, None]).reshape(total)
+        order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+        take = order[:cap]                       # valid slots first
+        inv = jnp.full((total,), -1, jnp.int32)
+        inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
+        return (l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take]),
+                inv.reshape(C, K))
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
@@ -172,10 +210,13 @@ class VDL2Pipeline:
     # tracker up to each burst's sync point before emitting (so header
     # fields see the pre-burst floor), skipping busy windows.
 
-    def _stash_noise_block(self, pwr3: np.ndarray, base: int) -> None:
-        """``pwr3`` columns are magnitudes^2 of fresh decimated samples
-        base, base+3, base+6, ... (global indices)."""
-        self._nf_mags = np.sqrt(pwr3.astype(np.float64))
+    def _stash_noise_block(self, mags: np.ndarray, base: int) -> None:
+        """``mags`` columns are magnitudes of fresh decimated samples
+        base, base+3, base+6, ... (global indices).  The sqrt runs on
+        device (see _mag16) so only half-precision magnitudes cross the
+        host link — f16 rounding is ~5e-4 relative, three orders below
+        the 0.1 dB display resolution of the noise floor."""
+        self._nf_mags = np.asarray(mags, np.float64)
         self._nf_base = base
         self._nf_col = np.zeros(len(self.channels), np.int64)
 
@@ -284,8 +325,8 @@ class VDL2Pipeline:
         return small
 
     def _fetch_candidates(self, cands, l2):
-        import jax  # deferred: keep module import light for CLI startup
-        return jax.device_get(self._candidate_fields(cands, l2))
+        from ..utils.fetch import coalesced_get
+        return coalesced_get(self._candidate_fields(cands, l2))
 
     def _process_candidates(self, cands, base: int, eof: bool,
                             l2=None, l2_map=None, fetched=None,
@@ -344,6 +385,15 @@ class VDL2Pipeline:
                 det_g = base + int(det_idx[c, k])
                 sp_g = base + int(sync_idx[c, k])
                 if det_g < ch.next_det_min or det_g < ch.busy_until:
+                    continue
+                if l2 is not None and l2_map is not None \
+                        and int(l2_map[c, k]) < 0:
+                    # candidate overflowed the compacted L2 batch cap
+                    # (same degradation semantics as the per-channel K
+                    # cap): count it and move on
+                    ch.bump("demod.sync.overflow")
+                    ch.next_det_min = det_g + 1
+                    decided(ch, det_g)
                     continue
                 nsyms_avail = int(sym_valid[c, k])
                 if nsyms_avail < (HEADER_LEN + 2) // 3 + 1:
@@ -478,7 +528,7 @@ class VDL2Pipeline:
             SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
         self.carry = new_carry
         self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
-        l2 = self._launch_l2(cands)
+        l2, l2_map = self._launch_l2(cands)
 
         base = self.hist_base
         M_total = H + iq.shape[1] // self.oversample
@@ -491,7 +541,7 @@ class VDL2Pipeline:
         # carried halo always retains a full max-length burst, so a
         # deferral discovered one block late is still re-detected.
         frames = self._drain_pending()
-        self._pending = (cands, l2, pwr3, base, base + H)
+        self._pending = (cands, l2, l2_map, pwr3, base, base + H)
         if eof:
             frames.extend(self.finish())
         return frames
@@ -505,13 +555,14 @@ class VDL2Pipeline:
         fetch costs a full roundtrip."""
         if self._pending is None:
             return []
-        cands, l2, pwr3, base, nf_base = self._pending
+        cands, l2, l2_map, pwr3, base, nf_base = self._pending
         self._pending = None
-        import jax
-        pwr3_np, fetched, l2_np = jax.device_get(
-            (pwr3, self._candidate_fields(cands, l2), l2))
-        self._stash_noise_block(pwr3_np, nf_base)
+        from ..utils.fetch import coalesced_get
+        mags_np, fetched, l2_np, l2_map_np = coalesced_get(
+            (_mag16(pwr3), self._candidate_fields(cands, l2), l2, l2_map))
+        self._stash_noise_block(mags_np, nf_base)
         frames = self._process_candidates(cands, base, eof=False, l2=l2,
+                                          l2_map=l2_map_np,
                                           fetched=fetched, l2_np=l2_np)
         self._finish_noise_block()
         return frames
@@ -523,11 +574,11 @@ class VDL2Pipeline:
             return frames
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
                                self.max_candidates, MAX_BURST_SYMS)
-        l2 = self._launch_l2(cands)
-        import jax
-        fetched, l2_np = jax.device_get(
-            (self._candidate_fields(cands, l2), l2))   # one roundtrip
+        l2, l2_map = self._launch_l2(cands)
+        from ..utils.fetch import coalesced_get
+        fetched, l2_np, l2_map_np = coalesced_get(
+            (self._candidate_fields(cands, l2), l2, l2_map))
         frames.extend(self._process_candidates(
-            cands, self.hist_base, eof=True, l2=l2, fetched=fetched,
-            l2_np=l2_np))
+            cands, self.hist_base, eof=True, l2=l2, l2_map=l2_map_np,
+            fetched=fetched, l2_np=l2_np))
         return frames

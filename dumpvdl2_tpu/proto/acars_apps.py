@@ -186,6 +186,9 @@ def decode_acars_apps(label: str, txt: str, reg: str = "",
     if label == "SA":
         return media_adv_parse(txt)
     if label == "MA":
+        from ..config import Config
+        if Config.miam == "off":      # operator disabled the
+            return None               # reconstructed CORE codec
         from .miam import miam_parse
         return miam_parse(txt, reg=reg, reasm_ctx=reasm_ctx,
                           rx_time=rx_time)

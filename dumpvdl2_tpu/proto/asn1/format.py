@@ -162,6 +162,13 @@ class IcaoFormatter:
 
     def _choice_text(self, out, tname, value, indent, label,
                      choice_labels=None):
+        if _terminal(self.schema, tname)[0] != "choice":
+            # the reference's formatter table registers a few
+            # non-CHOICE types with the CHOICE formatter (e.g.
+            # CancelContract, an extensible ENUM,
+            # asn1-format-icao-text.c:1303); render as a labeled value
+            self._generic(out, tname, value, indent, label)
+            return
         altname, inner = value
         if choice_labels is not None:
             phrase = choice_labels.get(altname, altname)

@@ -125,6 +125,8 @@ class CorePdu:
     # decode state
     crc_ok: bool = True
     error: str = ""
+    raw_text: str = ""                # original armored text (for the
+                                      # labeled fallback dump on error)
 
 
 def encode_core(pdu: CorePdu) -> str:
@@ -157,13 +159,20 @@ def encode_core(pdu: CorePdu) -> str:
 
 def decode_core(text: str) -> CorePdu:
     """Dearmor + decode a CORE PDU; never raises (error in .error)."""
-    pdu = CorePdu()
+    pdu = CorePdu(raw_text=text)
     raw = dearmor(text)
     if raw is None or len(raw) < 5:
         pdu.error = "not a decodable CORE PDU (armoring)"
         return pdu
     crc_want = int.from_bytes(raw[-4:], "big")
     pdu.crc_ok = zlib.crc32(raw[:-4]) == crc_want
+    if not pdu.crc_ok:
+        # do NOT decode fields from a CRC-failed buffer: text that is
+        # not this framework's (reconstructed) CORE profile can still
+        # dearmor by accident, and a wrong-but-plausible field decode
+        # would be worse than a labeled fallback dump
+        pdu.error = "CRC check failed - not a conforming CORE PDU"
+        return pdu
     pdu.version = raw[0] >> 4
     pdu.pdu_type = raw[0] & 0xF
     if pdu.version not in (1, 2) or pdu.pdu_type not in _PDU_NAMES:
@@ -202,6 +211,10 @@ def decode_core(text: str) -> CorePdu:
     return pdu
 
 
+def _clip(text: str, limit: int = 512) -> str:
+    return text if len(text) <= limit else text[:limit] + "..."
+
+
 class MiamCoreNode(ProtoNode):
     """Decoded MIAM CORE PDU."""
     json_key = "miam_core"
@@ -223,12 +236,17 @@ class MiamCoreNode(ProtoNode):
         p = self.pdu
         if p.error:
             out.iline(indent, f"-- {p.error}")
+            if p.raw_text:
+                # graceful degradation: real off-the-air MIAM that does
+                # not match this framework's reconstructed CORE profile
+                # lands here — always show the operator the raw text
+                out.iline(indent, f"Undecoded text ({len(p.raw_text)} "
+                                  f"chars):")
+                out.iline(indent + 1, _clip(p.raw_text))
             return
         out.iline(indent,
                   f"MIAM CORE v{p.version} {_PDU_NAMES[p.pdu_type]} PDU:")
         indent += 1
-        if not p.crc_ok:
-            out.iline(indent, "CRC check failed")
         if p.pdu_type == PDU_DATA:
             out.iline(indent, f"App type: {_APP_TYPE_NAMES[p.app_type]}")
             out.iline(indent, f"App ID: {p.app_id}")
@@ -263,6 +281,8 @@ class MiamCoreNode(ProtoNode):
         p = self.pdu
         if p.error:
             obj["err"] = p.error
+            if p.raw_text:
+                obj["text"] = _clip(p.raw_text)
             return
         obj["version"] = p.version
         obj["pdu_type"] = _PDU_NAMES[p.pdu_type]
