@@ -145,12 +145,17 @@ class VDL2Pipeline:
         self._ema_zi = np.zeros((C, 1))
         self._residual = np.zeros(0, dtype=np.complex64)
         self.use_device_l2 = _resolve_device_l2()
-        # Double-buffered host loop: block N's device step is dispatched
-        # BEFORE block N-1's candidates are fetched/processed, so the
-        # host<->device roundtrip of the fetch overlaps the next block's
-        # device compute (reference analog: producer/demod thread overlap
-        # across the barrier pair, dumpvdl2.c:117-135).
-        self._pending = None
+        # Pipelined host loop (reference analog: producer/demod thread
+        # overlap across the barrier pair, dumpvdl2.c:117-135): block
+        # N's device step is dispatched before older blocks' results
+        # are consumed, result transfers run in a background thread,
+        # and the host processes the oldest fetched block — up to two
+        # blocks in flight, so device compute, link transfer and host
+        # decode all overlap.
+        from collections import deque
+        self._pending_q = deque()
+        self._fetch_pool = None
+        self._pending = None            # MeshPipeline's 1-deep slot
         self._last_proc_base = None
 
     def _launch_l2(self, cands):
@@ -536,35 +541,56 @@ class VDL2Pipeline:
         self.hist = new_hist
         self.hist_base = base + M_total - keep
 
-        # Drain the PREVIOUS block's results only now that this block's
-        # device work is in flight.  Deferred candidates are safe: the
-        # carried halo always retains a full max-length burst, so a
-        # deferral discovered one block late is still re-detected.
-        frames = self._drain_pending()
-        self._pending = (cands, l2, l2_map, pwr3, base, base + H)
+        # Two-deep host pipeline: this block's device work is in
+        # flight, its result fetch runs in a BACKGROUND thread (the
+        # transfer is pure I/O on a latency-bound link), and the host
+        # processes the block fetched two feeds ago — so per-block wall
+        # time is max(transfer, host work), not their sum.  Deferred
+        # candidates are safe at any drain lag: re-detection happens in
+        # the DEVICE pass of the following block (the carried halo
+        # retains a full max-length burst), independent of when the
+        # host drains the results.
+        fut = self._submit_fetch(
+            (_mag16(pwr3), self._candidate_fields(cands, l2), l2, l2_map))
+        self._pending_q.append((cands, l2, fut, base, base + H))
+        frames = []
+        while len(self._pending_q) > 2 \
+                or (self._pending_q and self._pending_q[0][2].done()):
+            frames.extend(self._drain_oldest())
         if eof:
             frames.extend(self.finish())
         return frames
 
-    def _drain_pending(self) -> list[DecodedFrame]:
-        """Fetch + host-process the oldest in-flight block, if any.
-
-        EVERYTHING the host needs for the block — noise-tracker power
-        columns, candidate fields, and the device-L2 results — comes
-        back in ONE device_get: on a latency-bound link each separate
-        fetch costs a full roundtrip."""
-        if self._pending is None:
-            return []
-        cands, l2, l2_map, pwr3, base, nf_base = self._pending
-        self._pending = None
+    def _submit_fetch(self, tree):
+        from concurrent.futures import ThreadPoolExecutor
         from ..utils.fetch import coalesced_get
-        mags_np, fetched, l2_np, l2_map_np = coalesced_get(
-            (_mag16(pwr3), self._candidate_fields(cands, l2), l2, l2_map))
+        if self._fetch_pool is None:
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="vdl2-fetch")
+        return self._fetch_pool.submit(coalesced_get, tree)
+
+    def _drain_oldest(self) -> list[DecodedFrame]:
+        """Host-process the oldest in-flight block, if any.
+
+        EVERYTHING the host needs for the block — noise-tracker
+        magnitude columns, candidate fields, and the device-L2 results
+        — arrived in ONE background transfer (utils/fetch.py)."""
+        if not self._pending_q:
+            return []
+        cands, l2, fut, base, nf_base = self._pending_q.popleft()
+        mags_np, fetched, l2_np, l2_map_np = fut.result()
         self._stash_noise_block(mags_np, nf_base)
         frames = self._process_candidates(cands, base, eof=False, l2=l2,
                                           l2_map=l2_map_np,
                                           fetched=fetched, l2_np=l2_np)
         self._finish_noise_block()
+        return frames
+
+    def _drain_pending(self) -> list[DecodedFrame]:
+        """Drain every in-flight block in order."""
+        frames = []
+        while self._pending_q:
+            frames.extend(self._drain_oldest())
         return frames
 
     def finish(self) -> list[DecodedFrame]:

@@ -38,6 +38,7 @@ _LR_X = np.arange(PREAMBLE_SYMS, dtype=np.float32) - (PREAMBLE_SYMS - 1) / 2.0
 _LR_DENOM = float((_LR_X ** 2).sum())
 
 _LOOKBACK = (PREAMBLE_SYMS - 1) * SPS  # oldest sample the metric reaches back to
+_NMS_WIN = 2 * SPS    # duplicate-crossing suppression window (samples)
 
 
 class Candidates(NamedTuple):
@@ -156,6 +157,23 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
     mask = mask.at[:, :max(_LOOKBACK + 2, detect_lo)].set(False)
     if detect_hi is not None and detect_hi < M:
         mask = mask.at[:, detect_hi:].set(False)
+
+    # Collapse duplicate crossings of ONE preamble dip: at marginal
+    # SNR the noisy metric re-crosses its own minimum several times
+    # within a few samples, and each crossing would burn a candidate
+    # slot (the reference's serial state machine fires once per dip —
+    # demod.c:173-185 resets pherr after a sync).  Keep only cluster
+    # leaders: a detection with another crossing in the preceding
+    # _NMS_WIN samples is the same dip re-crossed.  Behavior-neutral
+    # for the host: post-leader candidates inside the window were
+    # always discarded by its busy gating (9 symbols = 90 samples
+    # after even a failed header), but they no longer consume K slots.
+    m = mask.astype(jnp.int32)
+    cs = jnp.cumsum(m, axis=1)
+    hi = jnp.roll(cs, 1, axis=1).at[:, 0].set(0)            # cs[i-1]
+    lo = jnp.roll(cs, _NMS_WIN + 1, axis=1)
+    lo = lo.at[:, :_NMS_WIN + 1].set(0)                     # cs[i-W-1]
+    mask = mask & ((hi - lo) == 0)
 
     # First K detections per channel, in time order: top-K of negated
     # positions (scatter-free; top_k is fast on TPU).  Blocks shorter

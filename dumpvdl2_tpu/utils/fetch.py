@@ -50,6 +50,10 @@ def coalesced_get(tree):
     leaves, treedef = tree_util.tree_flatten(tree)
     if not leaves:
         return tree
+    if jax.default_backend() == "cpu":
+        # no link to amortize: packing would just memcpy the big
+        # arrays through an extra buffer
+        return jax.device_get(tree)
     if _PACK_JIT is None:
         _PACK_JIT = jax.jit(lambda ls: _pack(ls))
     buf = np.asarray(jax.device_get(_PACK_JIT(leaves)))
