@@ -31,20 +31,36 @@ WAV = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
 _LAST_SPREAD = {}
 
 
-def _median_time(fn, repeats=REPEATS):
-    """Median wall time over ``repeats`` runs; records run count and
-    min/median/max seconds in _LAST_SPREAD so every reported row can
-    carry its spread (shared bench chips vary run to run)."""
+def _median_time(fn, repeats=REPEATS, max_batches=4, stable_iqr=0.3):
+    """Contention-aware timing (same protocol as bench.py): run up to
+    ``max_batches`` batches of ``repeats`` timed runs, call a batch
+    stable when IQR/median <= ``stable_iqr`` (early-exit at half
+    that), and report the fastest stable batch — or the fastest batch
+    overall with a contended flag when the shared chip/link never
+    settles.  Records run count, min/median/max and the flag in
+    _LAST_SPREAD so every reported row is interpretable on its own."""
     fn()                                    # compile / warm caches
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    _LAST_SPREAD.update(runs=repeats, t_min=float(np.min(times)),
-                        t_median=float(np.median(times)),
-                        t_max=float(np.max(times)))
-    return float(np.median(times))
+    batches = []
+    for _ in range(max_batches):
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        q1, med, q3 = np.percentile(times, [25, 50, 75])
+        batches.append({"times": times, "median": float(med),
+                        "iqr_rel": float((q3 - q1) / med)})
+        if batches[-1]["iqr_rel"] <= stable_iqr / 2:
+            break
+    stable = [b for b in batches if b["iqr_rel"] <= stable_iqr]
+    best = min(stable or batches, key=lambda b: b["median"])
+    _LAST_SPREAD.clear()
+    _LAST_SPREAD.update(runs=repeats, batches=len(batches),
+                        contended=not stable,
+                        t_min=float(np.min(best["times"])),
+                        t_median=best["median"],
+                        t_max=float(np.max(best["times"])))
+    return best["median"]
 
 
 def _with_spread(row, per_run_value=None):
@@ -52,6 +68,9 @@ def _with_spread(row, per_run_value=None):
     maps a wall time to the metric value (rate metrics: min time ->
     best value)."""
     row["runs"] = _LAST_SPREAD.get("runs", 0)
+    if "batches" in _LAST_SPREAD:
+        row["batches"] = _LAST_SPREAD["batches"]
+        row["contended"] = _LAST_SPREAD["contended"]
     if per_run_value is not None and _LAST_SPREAD:
         vals = sorted(per_run_value(t) for t in
                       (_LAST_SPREAD["t_min"], _LAST_SPREAD["t_max"]))
@@ -394,6 +413,75 @@ def bench_raw_replay():
         lambda t: n / t)
 
 
+def bench_raw_replay_workers():
+    """Config 6b: host protocol stack with --decode-workers 2.
+
+    Same fleet-archive workload as raw_replay, but through the
+    ParallelFrameDecoder: parent reads records + shards by aircraft
+    affinity, 2 worker processes run protobuf decode + AVLC + protocol
+    tree + text formatting, parent re-emits in order.  Reported
+    vs_baseline is the SPEEDUP over the single-process path measured
+    in the same run.  NOTE the bench host has 2 cores total — parent,
+    workers and the output writer compete for them, so this is a lower
+    bound; on a >=4-core host the workers scale independently.
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import gen_bench_archive as gba
+    from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
+    from dumpvdl2_tpu.config import Config
+    from dumpvdl2_tpu.io import rawframes
+    from dumpvdl2_tpu.io.formatters import formatter_get
+    from dumpvdl2_tpu.io.outputs import setup_output
+    from dumpvdl2_tpu.proto.avlc import avlc_parse
+    from dumpvdl2_tpu.proto.reasm import ReasmContexts
+
+    with tempfile.NamedTemporaryFile(suffix=".frames") as tf:
+        n = gba.write_archive(tf.name, 64, 48)     # ~86k frames
+        with open(tf.name, "rb") as fh:
+            bodies = list(rawframes.read_raw_bodies(fh))
+    assert len(bodies) == n
+
+    # single-process reference rate (same records, same work)
+    fd = formatter_get("text")
+
+    def run_single():
+        reasm = ReasmContexts()
+        for b in bodies:
+            d = rawframes.decode_raw_frame(b)
+            root, _mt = avlc_parse(bytes(d.frame), d.metadata, reasm)
+            if root is not None:
+                fd.format_decoded_msg(d.metadata, root)
+
+    dt_single = _median_time(run_single, repeats=3, max_batches=1)
+
+    Config.output_queue_hwm = 0
+    with tempfile.TemporaryDirectory() as td:
+        def run_workers():
+            fmtr_list = []
+            setup_output(
+                f"decoded:text:file:path={td}/o.txt", fmtr_list)
+            dec = ParallelFrameDecoder(fmtr_list, 2)
+            dec.start_outputs()
+            for b in bodies:
+                dec.process_record(b)
+            dec.shutdown()
+
+        dt_workers = _median_time(run_workers, repeats=3, max_batches=1)
+
+    fps = n / dt_workers
+    return _with_spread(
+        {"metric": "raw_replay_workers2_frames_per_sec",
+         "value": round(fps, 1), "unit": "frames/s",
+         "single_process_fps": round(n / dt_single, 1),
+         "vs_baseline": round(dt_single / dt_workers, 2)},
+        lambda t: n / t)
+
+
 BENCHES = {
     "single_channel_wav": bench_single_channel_wav,
     "channelizer_8ch": bench_channelizer_8ch,
@@ -402,6 +490,7 @@ BENCHES = {
     "wideband_256ch": bench_wideband_256ch,
     "wideband_e2e_256ch": bench_wideband_e2e_256ch,
     "raw_replay": bench_raw_replay,
+    "raw_replay_workers": bench_raw_replay_workers,
 }
 
 

@@ -11,6 +11,7 @@ dependency.  Files are concatenation-safe, enabling the archive/replay
 """
 from __future__ import annotations
 
+import ctypes
 import struct
 from typing import BinaryIO, Iterator, Optional
 
@@ -126,11 +127,21 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _decode_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
     pos = 0
-    while pos < len(buf):
-        key, pos = _read_varint(buf, pos)
+    L = len(buf)
+    while pos < L:
+        # single-byte fast paths: every field key here is < 0x80, and
+        # most varint values fit one byte
+        key = buf[pos]
+        pos += 1
+        if key & 0x80:
+            key, pos = _read_varint(buf, pos - 1)
         field, wire = key >> 3, key & 7
         if wire == 0:
-            value, pos = _read_varint(buf, pos)
+            value = buf[pos]
+            if value & 0x80:
+                value, pos = _read_varint(buf, pos)
+            else:
+                pos += 1
         elif wire == 5:
             value = struct.unpack_from("<f", buf, pos)[0]
             pos += 4
@@ -146,7 +157,64 @@ def _decode_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
         yield field, wire, value
 
 
+class _RawMeta(ctypes.Structure):
+    """Mirror of l2h_raw_meta (native/l2host.c)."""
+    _fields_ = [("ts", ctypes.c_double),
+                ("frame_pwr", ctypes.c_float),
+                ("nf_pwr", ctypes.c_float),
+                ("ppm", ctypes.c_float),
+                ("freq", ctypes.c_uint64),
+                ("synd_weight", ctypes.c_uint64),
+                ("datalen_octets", ctypes.c_uint64),
+                ("version", ctypes.c_uint64),
+                ("num_fec", ctypes.c_uint64),
+                ("idx", ctypes.c_uint64),
+                ("station_off", ctypes.c_int32),
+                ("station_len", ctypes.c_int32),
+                ("frame_off", ctypes.c_int32),
+                ("frame_len", ctypes.c_int32)]
+
+
+_NATIVE_LIB = False                   # False = not resolved yet
+
+
+def _native():
+    global _NATIVE_LIB
+    if _NATIVE_LIB is False:
+        try:
+            from ..native import load_l2host
+            _NATIVE_LIB = load_l2host()
+        except Exception:
+            _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
 def decode_raw_frame(body: bytes) -> DecodedFrame:
+    lib = _native()
+    if lib is not None:
+        m = _RawMeta()
+        if lib.l2h_parse_raw_frame(body, len(body),
+                                   ctypes.byref(m)) == 0:
+            md = MsgMetadata(
+                version=int(m.version),
+                freq=int(m.freq),
+                frame_pwr_dbfs=float(m.frame_pwr),
+                nf_pwr_dbfs=float(m.nf_pwr),
+                ppm_error=float(m.ppm),
+                burst_timestamp=float(m.ts),
+                datalen_octets=int(m.datalen_octets),
+                synd_weight=int(m.synd_weight),
+                num_fec_corrections=int(m.num_fec),
+                idx=int(m.idx))
+            if m.station_len:
+                md.station_id = body[m.station_off:
+                                     m.station_off + m.station_len] \
+                    .decode(errors="replace")
+            frame = body[m.frame_off:m.frame_off + m.frame_len]
+            return DecodedFrame(metadata=md,
+                                frame=np.frombuffer(frame, np.uint8))
+        # malformed for the strict native parser: the Python decoder
+        # below is the executable spec (and raises informatively)
     md = MsgMetadata()
     frame = b""
     for field, wire, value in _decode_fields(body):

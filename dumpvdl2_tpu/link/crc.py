@@ -42,17 +42,16 @@ def crc16_ccitt(data: bytes | bytearray | np.ndarray,
                 crc_init: int = 0xFFFF) -> int:
     lib = _lib()
     if lib is not None and len(data):
-        import ctypes
-        if isinstance(data, (bytes, bytearray)):
-            # at most one copy (bytes(bytearray)); avoids the numpy
-            # ascontiguousarray round-trip of the ndarray branch
-            ptr = ctypes.cast(ctypes.c_char_p(bytes(data)),
-                              ctypes.POINTER(ctypes.c_uint8))
-            return int(lib.l2h_crc16_ccitt(ptr, len(data), crc_init))
+        if isinstance(data, bytes):
+            # argtypes=c_char_p: ctypes passes the bytes pointer
+            # straight through, no per-call cast or copy
+            return int(lib.l2h_crc16_ccitt(data, len(data), crc_init))
+        if isinstance(data, bytearray):
+            return int(lib.l2h_crc16_ccitt(bytes(data), len(data),
+                                           crc_init))
         buf = np.ascontiguousarray(data, dtype=np.uint8)
-        return int(lib.l2h_crc16_ccitt(
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            buf.size, crc_init))
+        return int(lib.l2h_crc16_ccitt(buf.tobytes(), buf.size,
+                                       crc_init))
     if isinstance(data, np.ndarray):
         data = data.astype(np.uint8).tobytes()
     crc = crc_init

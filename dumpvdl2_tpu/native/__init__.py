@@ -61,9 +61,13 @@ def load_l2host() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(out)
         lib.l2h_unstuff_frames.restype = ctypes.c_int32
         lib.l2h_crc16_ccitt.restype = ctypes.c_uint16
+        # c_char_p lets ctypes pass Python bytes straight through with
+        # no per-call cast/copy (the function only reads)
         lib.l2h_crc16_ccitt.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
-            ctypes.c_uint16]
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_uint16]
+        lib.l2h_parse_raw_frame.restype = ctypes.c_int32
+        lib.l2h_parse_raw_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None

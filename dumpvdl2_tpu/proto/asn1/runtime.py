@@ -254,18 +254,30 @@ def _decode_octstr(rd: BitReader, size: Constraint) -> bytes:
 
 def _decode_bitstr(rd: BitReader, size: Constraint) -> Tuple[bytes, int]:
     nbits = 0
-    acc: List[int] = []
+    data = bytearray()
     while True:
         n, frag = _decode_size(rd, size)
-        for _ in range(n):
-            acc.append(rd.bits(1))
-        nbits += n
+        if n:
+            if nbits & 7:
+                # fragment boundary not byte-aligned — UPER fragments
+                # are 16K-bit multiples so this only happens on
+                # malformed input; bit-shift concat keeps it correct
+                total = nbits + n
+                acc = (int.from_bytes(data, "big")
+                       >> ((8 * len(data) - nbits) & 7)) if data else 0
+                acc = (acc << n) | rd.bits(n)
+                pad = (8 - (total & 7)) & 7
+                data = bytearray(
+                    (acc << pad).to_bytes((total + 7) // 8, "big"))
+                nbits = total
+            else:
+                # bulk path: one big-int read instead of n 1-bit reads
+                val = rd.bits(n)
+                nb = (n + 7) // 8
+                data += (val << (8 * nb - n)).to_bytes(nb, "big")
+                nbits += n
         if not frag:
             break
-    data = bytearray((nbits + 7) // 8)
-    for i, b in enumerate(acc):
-        if b:
-            data[i >> 3] |= 0x80 >> (i & 7)
     return bytes(data), nbits
 
 

@@ -68,22 +68,33 @@ def armor(data: bytes) -> str:
     return "".join(out)
 
 
+# char ordinal -> base-85 value; 0xFF marks characters outside the
+# alphabet (one C-speed translate call replaces per-char dict lookups)
+_B85_TABLE = bytearray([0xFF]) * 256
+for _i, _c in enumerate(_B85_ALPHABET):
+    _B85_TABLE[ord(_c)] = _i
+_B85_TABLE = bytes(_B85_TABLE)
+
+
 def dearmor(text: str) -> Optional[bytes]:
+    try:
+        vals = text.encode("latin-1").translate(_B85_TABLE)
+    except UnicodeEncodeError:
+        return None                   # non-latin char: not armored
+    if 0xFF in vals:
+        return None                   # char outside the alphabet
     out = bytearray()
-    for i in range(0, len(text), 5):
-        group = text[i:i + 5]
+    for i in range(0, len(vals), 5):
+        group = vals[i:i + 5]
         n = len(group) - 1
         if n < 1:
             return None
         val = 0
-        for ch in group:
-            idx = _B85_INDEX.get(ch)
-            if idx is None:
-                return None
-            val = val * 85 + idx
+        for v in group:
+            val = val * 85 + v
         if val >> (8 * n):
             return None               # overlong group
-        out.extend(val.to_bytes(n, "big"))
+        out += val.to_bytes(n, "big")
     return bytes(out)
 
 

@@ -68,8 +68,17 @@ def symbols_to_bits_msb(symbols: np.ndarray, bps: int = 3) -> np.ndarray:
     return ((symbols[:, None] >> shifts) & 1).astype(np.uint8).reshape(-1)
 
 
+_REV8 = bytes(
+    ((i * 0x0202020202 & 0x010884422010) % 1023) & 0xFF for i in range(256))
+
+
 def reverse_bits(value: int, numbits: int) -> int:
     """Reverse the low ``numbits`` bits of ``value``."""
+    if numbits <= 32:
+        v = value & ((1 << numbits) - 1)
+        r = (_REV8[v & 0xFF] << 24) | (_REV8[(v >> 8) & 0xFF] << 16) \
+            | (_REV8[(v >> 16) & 0xFF] << 8) | _REV8[(v >> 24) & 0xFF]
+        return r >> (32 - numbits)
     result = 0
     for i in range(numbits):
         result = (result << 1) | ((value >> i) & 1)

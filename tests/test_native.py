@@ -39,15 +39,14 @@ def _py_frames(bits):
 
 
 def test_native_crc_matches_python(lib):
-    import ctypes
-    u8p = ctypes.POINTER(ctypes.c_uint8)
     for n in (0, 1, 7, 256, 4096):
         buf = np.ascontiguousarray(rng.integers(0, 256, n, dtype=np.uint8))
         crc = 0xFFFF
         for b in buf.tolist():
             crc = (crc >> 8) ^ int(CRC_TABLE[(crc ^ b) & 0xFF])
         if n:
-            got = lib.l2h_crc16_ccitt(buf.ctypes.data_as(u8p), n, 0xFFFF)
+            # argtypes=c_char_p: bytes pass straight through
+            got = lib.l2h_crc16_ccitt(buf.tobytes(), n, 0xFFFF)
             assert got == crc
 
 
@@ -83,3 +82,56 @@ def test_native_descramble_matches_prbs(lib):
     lib.l2h_descramble(bits.ctypes.data_as(u8p), 5000,
                        ctypes.c_uint16(LFSR_IV))
     assert np.array_equal(bits, ref)
+
+
+def test_native_raw_frame_parser_matches_python(lib):
+    """l2h_parse_raw_frame (the bulk-replay fast path) must agree with
+    the Python protobuf decoder on every field, and fall back cleanly
+    on malformed bodies."""
+    import dumpvdl2_tpu.io.rawframes as rf
+    from dumpvdl2_tpu.core.metadata import MsgMetadata
+
+    cases = []
+    r = np.random.default_rng(9)
+    for i in range(200):
+        md = MsgMetadata(
+            version=int(r.integers(0, 3)),
+            station_id=None if i % 3 else "ST-%d" % i,
+            freq=int(r.integers(0, 1 << 31)),
+            frame_pwr_dbfs=float(r.normal()) if i % 2 else 0.0,
+            nf_pwr_dbfs=float(r.normal()),
+            ppm_error=float(r.normal()),
+            burst_timestamp=float(r.integers(0, 1 << 40)) / 64.0,
+            datalen_octets=int(r.integers(0, 4000)),
+            synd_weight=int(r.integers(0, 3)),
+            num_fec_corrections=int(r.integers(0, 30)),
+            idx=int(r.integers(0, 8)))
+        frame = r.integers(0, 256, int(r.integers(0, 300)),
+                           dtype=np.uint8).tobytes()
+        cases.append(rf.encode_raw_frame(md, frame))
+
+    saved = rf._NATIVE_LIB
+    try:
+        for body in cases:
+            rf._NATIVE_LIB = None            # force the Python path
+            py = rf.decode_raw_frame(body)
+            rf._NATIVE_LIB = saved if saved else lib
+            nat = rf.decode_raw_frame(body)
+            assert bytes(nat.frame) == bytes(py.frame)
+            for f in ("version", "station_id", "freq", "datalen_octets",
+                      "synd_weight", "num_fec_corrections", "idx"):
+                assert getattr(nat.metadata, f) == getattr(py.metadata, f)
+            for f in ("frame_pwr_dbfs", "nf_pwr_dbfs", "ppm_error",
+                      "burst_timestamp"):
+                assert getattr(nat.metadata, f) == \
+                    pytest.approx(getattr(py.metadata, f), abs=1e-9)
+    finally:
+        rf._NATIVE_LIB = saved
+
+    # malformed input: native parser refuses, Python raises either way
+    rf._NATIVE_LIB = saved if saved else lib
+    try:
+        with pytest.raises(Exception):
+            rf.decode_raw_frame(b"\xff\xff\xff\xff")
+    finally:
+        rf._NATIVE_LIB = saved
