@@ -596,6 +596,11 @@ class VDL2Pipeline:
     def finish(self) -> list[DecodedFrame]:
         """Flush: resolve deferred candidates with the data we have."""
         frames = self._drain_pending()
+        if self._fetch_pool is not None:
+            # EOF: release the background fetch thread (recreated
+            # lazily if the pipeline is fed again)
+            self._fetch_pool.shutdown(wait=False)
+            self._fetch_pool = None
         if self.hist.shape[2] == 0:
             return frames
         cands = self._demod_fn(self.hist, SYNC_THRESHOLD,
