@@ -120,6 +120,14 @@ def _result_from_batch(out: dict, i: int) -> BurstResult:
     last_len = int(out["last_len"][i])
     counts = out["counts"][i]
     fec_row = out["fec_row"][i]
+    bi = i
+    if "blocks_row" in out:
+        # blocks were second-stage compacted to hdr-ok rows on device
+        # (core/pipeline._compact_blocks)
+        bi = int(out["blocks_row"][i])
+        if bi < 0:
+            res.reason = "l2_overflow"
+            return res
     rows = []
     for r in range(num_blocks):
         res.blocks_processed += 1
@@ -130,7 +138,7 @@ def _result_from_batch(out: dict, i: int) -> BurstResult:
         if counts[r] > 0:
             res.num_fec_corrections += int(counts[r]) \
                 - (RS_N - RS_K - int(fec_row[r]))
-        rows.append(out["blocks"][i, r,
+        rows.append(out["blocks"][bi, r,
                                   :RS_K if r != num_blocks - 1 else last_len])
 
     data_bits = np.unpackbits(np.concatenate(rows).astype(np.uint8),

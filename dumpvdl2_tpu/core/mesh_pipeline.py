@@ -339,4 +339,6 @@ class MeshPipeline(VDL2Pipeline):
         take = order[:cap]
         inv = jnp.full((total,), -1, jnp.int32)
         inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
-        return l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take]), inv
+        from .pipeline import _compact_blocks
+        l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
+        return _compact_blocks(l2, cap), inv

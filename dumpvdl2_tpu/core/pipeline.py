@@ -62,6 +62,28 @@ def _error_counter(reason: str) -> str:
     return "decoder.errors." + reason
 
 
+def _compact_blocks(l2, cap: int):
+    """Second-stage L2 result compaction: the (cap, MAX_BLOCKS, 255)
+    corrected-codeword array — the largest L2 result — is only ever
+    read for candidates whose header passed, so gather those rows to
+    the front and ship a row map instead of the full array.  Rows that
+    overflow the (generous) cap map to -1; the host reports them as
+    decoder.errors.l2_overflow (same graceful-degradation-with-counter
+    semantics as every other fixed cap in the block design)."""
+    import jax.numpy as jnp
+    cap2 = min(cap, max(128, cap // 4))
+    if cap2 >= cap:
+        return l2
+    order = jnp.argsort(~l2["hdr_ok"], stable=True).astype(jnp.int32)
+    take = order[:cap2]
+    inv = jnp.full((cap,), -1, jnp.int32)
+    inv = inv.at[take].set(jnp.arange(cap2, dtype=jnp.int32))
+    l2 = dict(l2)
+    l2["blocks"] = l2["blocks"][take]
+    l2["blocks_row"] = inv
+    return l2
+
+
 _MAG16 = None
 
 
@@ -195,8 +217,8 @@ class VDL2Pipeline:
         take = order[:cap]                       # valid slots first
         inv = jnp.full((total,), -1, jnp.int32)
         inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
-        return (l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take]),
-                inv.reshape(C, K))
+        l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
+        return _compact_blocks(l2, cap), inv.reshape(C, K)
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
