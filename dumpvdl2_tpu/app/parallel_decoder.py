@@ -293,6 +293,17 @@ class ParallelFrameDecoder:
             self._emit_seq += 1
         return got
 
+    def flush_wait(self) -> None:
+        """Block until every queued frame has been decoded and emitted
+        in order (steady-state barrier: benchmarks/tests measure
+        sustained throughput without paying spawn/teardown)."""
+        self._flush()
+        while self._emit_seq < self._seq:
+            if self._drain(block=True) == 0 \
+                    and any(not p.is_alive() for p in self._procs):
+                raise RuntimeError(
+                    "decode worker process died during flush")
+
     # -------------------------------------------------------------- shutdown
     def shutdown(self) -> None:
         self._flush()

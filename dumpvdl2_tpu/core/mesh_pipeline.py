@@ -26,7 +26,8 @@ from ..dsp.frontend import bandpass_channelize, to_planar
 from ..parallel.mesh import make_mesh
 from ..parallel.sharded import (BACK_HALO, ShardedState, init_sharded_state,
                                 make_sharded_step)
-from .pipeline import DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline, _mag16
+from .pipeline import (DEFAULT_HALO, MAX_BURST_SYMS, VDL2Pipeline,
+                       _launch_compacted_l2, _mag16)
 
 # Forward halo: a whole max-length burst fits ahead of any detection
 # point in a shard's fresh region.
@@ -314,31 +315,10 @@ class MeshPipeline(VDL2Pipeline):
         return merged, l2_map
 
     def _launch_l2_flat(self, cands):
-        """Sharded-step analog of VDL2Pipeline._launch_l2: compact the
-        (Tn, C, K) candidate slots on device so the L2 batch and its
-        host fetch scale with the detection cap, not Tn*C*K.  Returns
-        ``(l2, inv)`` where ``inv`` maps flat slot index -> L2 batch
-        row (-1 = overflowed the cap)."""
+        """Sharded-step analog of VDL2Pipeline._launch_l2: same shared
+        compaction over the (Tn, C, K) candidate slots, flat inv map
+        (translated through the merged l2_map at drain time)."""
         if not self.use_device_l2:
             return None, None
-        import jax.numpy as jnp
-        from ..fec.l2_tpu import l2_decode_batch
-        Tn, C, K = cands.det_idx.shape
-        total = Tn * C * K
-        syms = jnp.reshape(jnp.asarray(cands.symbols),
-                           (total, MAX_BURST_SYMS))
-        pwr = jnp.reshape(jnp.asarray(cands.power),
-                          (total, MAX_BURST_SYMS))
-        cap = min(total, max(256, 4 * Tn * C))
-        if cap >= total:
-            return l2_decode_batch(syms, MAX_BURST_SYMS, pwr), None
-        k_idx = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-        valid = (k_idx < jnp.asarray(cands.count)[:, :, None]) \
-            .reshape(total)
-        order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
-        take = order[:cap]
-        inv = jnp.full((total,), -1, jnp.int32)
-        inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
-        from .pipeline import _compact_blocks
-        l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
-        return _compact_blocks(l2, cap), inv
+        return _launch_compacted_l2(cands.symbols, cands.power,
+                                    cands.count, self.max_candidates)

@@ -84,6 +84,40 @@ def _compact_blocks(l2, cap: int):
     return l2
 
 
+def _launch_compacted_l2(symbols, power, count, K: int):
+    """Compact candidate slots on device and dispatch the batched L2
+    decode (shared by the single-device and mesh pipelines).
+
+    Only slots ``k < count[...]`` hold real detections, so the L2
+    batch — and the result arrays later fetched over the host link —
+    scales with a detection cap (``max(256, 4·groups)``), not with the
+    total slot count.  On wideband configs this is the difference
+    between decoding 16384 mostly-empty 5616-symbol slots per block
+    and ~1024 real ones.  ``count`` may be (C,) or (Tn, C); returns
+    ``(l2, inv)`` where ``inv`` maps flat slot index -> L2 batch row
+    (-1 = overflowed the cap, counted by the host as
+    demod.sync.overflow), or ``(l2, None)`` when no compaction was
+    needed."""
+    import jax.numpy as jnp
+
+    from ..fec.l2_tpu import l2_decode_batch
+    groups = int(np.prod(count.shape))
+    total = groups * K
+    syms = jnp.reshape(jnp.asarray(symbols), (total, MAX_BURST_SYMS))
+    pwr = jnp.reshape(jnp.asarray(power), (total, MAX_BURST_SYMS))
+    cap = min(total, max(256, 4 * groups))
+    if cap >= total:
+        return l2_decode_batch(syms, MAX_BURST_SYMS, pwr), None
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+    valid = (k_idx < jnp.asarray(count)[..., None]).reshape(total)
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+    take = order[:cap]                           # valid slots first
+    inv = jnp.full((total,), -1, jnp.int32)
+    inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
+    l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
+    return _compact_blocks(l2, cap), inv
+
+
 _MAG16 = None
 
 
@@ -181,44 +215,16 @@ class VDL2Pipeline:
         self._last_proc_base = None
 
     def _launch_l2(self, cands):
-        """Dispatch the batched device L2 decode for a candidate set.
-
-        Called with ``cands.symbols`` still a device array so no host
-        round-trip happens; returns ``(l2, l2_map)`` — the lazy result
-        dict plus a (C, K) map from candidate slot to L2 batch row.
-
-        Candidate slots are COMPACTED on device first: only slots
-        ``k < count[c]`` hold real detections, so the L2 batch (and the
-        result arrays later fetched over the host link) scales with the
-        detection cap, not with C*K.  On wideband configs (C=256, K=64)
-        this is the difference between decoding 16384 mostly-empty
-        5616-symbol slots per block and ~256 real ones — without it the
-        result fetch alone breaks realtime on a latency/bandwidth-bound
-        device link.  Slots that overflow the cap map to -1; the host
-        counts them as demod.sync.overflow (same semantics as the
-        per-channel K cap).
-        """
+        """Dispatch the batched device L2 decode for a candidate set
+        (see _launch_compacted_l2); returns ``(l2, l2_map)`` with the
+        slot->row map shaped (C, K)."""
         if not self.use_device_l2:
             return None, None
-        from ..fec.l2_tpu import l2_decode_batch
-        import jax.numpy as jnp
-        C, K = len(self.channels), self.max_candidates
-        total = C * K
-        syms = jnp.reshape(jnp.asarray(cands.symbols),
-                           (total, MAX_BURST_SYMS))
-        pwr = jnp.reshape(jnp.asarray(cands.power),
-                          (total, MAX_BURST_SYMS))
-        cap = min(total, max(256, 4 * C))
-        if cap >= total:
-            return l2_decode_batch(syms, MAX_BURST_SYMS, pwr), None
-        k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
-        valid = (k_idx < jnp.asarray(cands.count)[:, None]).reshape(total)
-        order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
-        take = order[:cap]                       # valid slots first
-        inv = jnp.full((total,), -1, jnp.int32)
-        inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
-        l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
-        return _compact_blocks(l2, cap), inv.reshape(C, K)
+        l2, inv = _launch_compacted_l2(cands.symbols, cands.power,
+                                       cands.count, self.max_candidates)
+        if inv is not None:
+            inv = inv.reshape(len(self.channels), self.max_candidates)
+        return l2, inv
 
     # ------------------------------------------------------------- front end
     def _channelize(self, iq: np.ndarray):
@@ -574,10 +580,15 @@ class VDL2Pipeline:
         # host drains the results.
         fut = self._submit_fetch(
             (_mag16(pwr3), self._candidate_fields(cands, l2), l2, l2_map))
-        self._pending_q.append((cands, l2, fut, base, base + H))
+        # queue carries NO device arrays: the fetch future owns the only
+        # references, so each block's (C, K, S) symbol/power buffers are
+        # freed as soon as the transfer completes (hundreds of MB per
+        # block at wideband), instead of pinning HBM for the queue's
+        # lifetime
+        self._pending_q.append((l2 is not None, fut, base, base + H))
         frames = []
         while len(self._pending_q) > 2 \
-                or (self._pending_q and self._pending_q[0][2].done()):
+                or (self._pending_q and self._pending_q[0][1].done()):
             frames.extend(self._drain_oldest())
         if eof:
             frames.extend(self.finish())
@@ -599,12 +610,15 @@ class VDL2Pipeline:
         — arrived in ONE background transfer (utils/fetch.py)."""
         if not self._pending_q:
             return []
-        cands, l2, fut, base, nf_base = self._pending_q.popleft()
+        has_l2, fut, base, nf_base = self._pending_q.popleft()
         mags_np, fetched, l2_np, l2_map_np = fut.result()
         self._stash_noise_block(mags_np, nf_base)
-        frames = self._process_candidates(cands, base, eof=False, l2=l2,
-                                          l2_map=l2_map_np,
-                                          fetched=fetched, l2_np=l2_np)
+        # cands/l2 device arrays were released with the fetch; the
+        # fetched numpy views carry everything (l2_np doubles as the
+        # "device L2 path" flag the candidate loop keys on)
+        frames = self._process_candidates(
+            None, base, eof=False, l2=l2_np if has_l2 else None,
+            l2_map=l2_map_np, fetched=fetched, l2_np=l2_np)
         self._finish_noise_block()
         return frames
 

@@ -49,9 +49,12 @@ def crc16_ccitt(data: bytes | bytearray | np.ndarray,
         if isinstance(data, bytearray):
             return int(lib.l2h_crc16_ccitt(bytes(data), len(data),
                                            crc_init))
+        import ctypes
         buf = np.ascontiguousarray(data, dtype=np.uint8)
-        return int(lib.l2h_crc16_ccitt(buf.tobytes(), buf.size,
-                                       crc_init))
+        # zero-copy: reinterpret the array's data pointer as char*
+        ptr = ctypes.cast(ctypes.c_void_p(buf.ctypes.data),
+                          ctypes.c_char_p)
+        return int(lib.l2h_crc16_ccitt(ptr, buf.size, crc_init))
     if isinstance(data, np.ndarray):
         data = data.astype(np.uint8).tobytes()
     crc = crc_init

@@ -155,7 +155,9 @@ int32_t l2h_parse_raw_frame(const uint8_t *body, int32_t len,
         int field = (int)(key >> 3), wire = (int)(key & 7);
         if (wire != 2) return -1;     /* top level: two bytes fields */
         if (rf_varint(body, len, &pos, &v)) return -1;
-        if (pos + (int64_t)v > len) return -1;
+        /* compare in uint64 space: a length with the high bit set
+         * must not wrap the signed check into a bounds bypass */
+        if (v > (uint64_t)(len - pos)) return -1;
         int32_t sub = pos, sub_end = pos + (int32_t)v;
         pos = sub_end;
         if (field == 2) {             /* frame bytes */
@@ -197,7 +199,7 @@ int32_t l2h_parse_raw_frame(const uint8_t *body, int32_t len,
                 sub += 8;
             } else if (w2 == 2) {
                 if (rf_varint(body, sub_end, &sub, &v2)) return -1;
-                if (sub + (int64_t)v2 > sub_end) return -1;
+                if (v2 > (uint64_t)(sub_end - sub)) return -1;
                 int32_t s2 = sub, s2e = sub + (int32_t)v2;
                 sub = s2e;
                 if (f2 == 1) {        /* station_id */

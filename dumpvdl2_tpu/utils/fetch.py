@@ -54,6 +54,12 @@ def coalesced_get(tree):
         # no link to amortize: packing would just memcpy the big
         # arrays through an extra buffer
         return jax.device_get(tree)
+    # convert up front so pack and unpack agree on the WIRE dtype —
+    # e.g. a host numpy int64 leaf becomes int32 on a non-x64 device,
+    # and unpacking with the original 8-byte dtype would corrupt every
+    # later leaf's offset
+    import jax.numpy as jnp
+    leaves = [jnp.asarray(leaf) for leaf in leaves]
     if _PACK_JIT is None:
         _PACK_JIT = jax.jit(lambda ls: _pack(ls))
     buf = np.asarray(jax.device_get(_PACK_JIT(leaves)))

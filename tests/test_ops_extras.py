@@ -93,3 +93,19 @@ def test_deployment_files_exist_and_are_consistent():
             if word in ("help", "all", "none") or not word:
                 continue
             assert word in MSG_FILTERSPEC, word
+
+
+def test_vdl2grep_drops_unknown_direction_like_reference():
+    """GS -> 'All stations' broadcasts (and any message whose header
+    classifies to neither air->gnd nor gnd->air) are dropped
+    unconditionally — pinning the REFERENCE's exact behavior
+    (extras/vdl2grep print_if_matches: '$dir == DIR_UNKNOWN and
+    return'), which its regex produces for 'All stations' too."""
+    log = ("[2026-08-21 06:00:00 UTC] [136.975] [-20.0/-40.0 dBFS]"
+           " [20.0 dB] [0.1 ppm]\n"
+           "2098B5 (Ground station, On ground) -> FFFFFF (All stations)"
+           ": Unnumbered frame\n"
+           "XID: GSIF broadcast payload\n\n")
+    r = _run(["GSIF"], stdin_text=log)
+    assert r.returncode == 0
+    assert r.stdout == ""
