@@ -135,3 +135,43 @@ def test_native_raw_frame_parser_matches_python(lib):
             rf.decode_raw_frame(b"\xff\xff\xff\xff")
     finally:
         rf._NATIVE_LIB = saved
+
+
+def test_native_raw_frame_parser_fuzz_no_crash(lib):
+    """Adversarial bodies — random bytes, truncations, and length
+    varints with bit 63 set (the signed-compare bounds bypass fixed in
+    round 4) — must never crash the native parser; where it refuses
+    (-1) the Python spec path is the fallback."""
+    import ctypes
+
+    import dumpvdl2_tpu.io.rawframes as rf
+
+    m = rf._RawMeta()
+    r = np.random.default_rng(0xF00D)
+    bodies = [bytes(r.integers(0, 256, int(n), dtype=np.uint8))
+              for n in r.integers(0, 64, 300)]
+    # field-1 (metadata, wire 2) with a huge 10-byte length varint:
+    # value has bit 63 set -> (int64_t)v is negative
+    huge = b"\x0a" + b"\xff" * 9 + b"\x01" + b"payload"
+    bodies.append(huge)
+    bodies.append(b"\x0a\xff\xff\xff\xff\x0f" + b"x")   # 2^32-ish len
+    bodies.append(b"\x12" + b"\xff" * 9 + b"\x01")      # frame field
+    # nested: valid metadata wrapper, huge inner station-id length
+    inner = b"\x0a" + b"\xff" * 9 + b"\x01"
+    bodies.append(bytes([0x0a, len(inner)]) + inner)
+    # genuine record truncated at every byte
+    from dumpvdl2_tpu.core.metadata import MsgMetadata
+    good = rf.encode_raw_frame(
+        MsgMetadata(freq=136975000, station_id="XX",
+                    burst_timestamp=1.5), b"frame!")
+    bodies += [good[:k] for k in range(len(good))]
+
+    for body in bodies:
+        rc = lib.l2h_parse_raw_frame(body, len(body), ctypes.byref(m))
+        assert rc in (0, -1)
+        if rc == 0:
+            # offsets the wrapper will slice with must be in bounds
+            assert 0 <= m.frame_off <= len(body)
+            assert 0 <= m.frame_len <= len(body) - m.frame_off
+            assert 0 <= m.station_off <= len(body)
+            assert 0 <= m.station_len <= len(body) - m.station_off
