@@ -263,3 +263,30 @@ def test_negative_decode_workers_rejected():
     r = run_cli(["--decode-workers", "-4", "--iq-file", "/dev/null"])
     assert r.returncode == 2
     assert b"must be >= 0" in r.stderr
+
+
+def test_flush_wait_is_a_steady_state_barrier(tmp_path):
+    """flush_wait() returns only after every queued frame was decoded
+    and emitted in order (the benchmark barrier), without shutdown."""
+    from dumpvdl2_tpu.app.parallel_decoder import ParallelFrameDecoder
+    from dumpvdl2_tpu.config import Config
+    from dumpvdl2_tpu.io import rawframes
+    from dumpvdl2_tpu.io.outputs import setup_output
+
+    Config.output_queue_hwm = 0
+    out = tmp_path / "o.txt"
+    fmtr_list = []
+    setup_output(f"decoded:text:file:path={out}", fmtr_list)
+    dec = ParallelFrameDecoder(fmtr_list, 2)
+    dec.start_outputs()
+    corpus = os.path.join(REPO, "tests", "fixtures",
+                          "proto_corpus.frames")
+    with open(corpus, "rb") as fh:
+        bodies = list(rawframes.read_raw_bodies(fh))
+    for rounds in range(2):            # decoder survives reuse
+        for body in bodies:
+            dec.process_record(body)
+        dec.flush_wait()
+        assert dec._emit_seq == dec._seq == (rounds + 1) * len(bodies)
+    dec.shutdown()
+    assert out.read_bytes().count(b"\n\n") >= 2 * 28
