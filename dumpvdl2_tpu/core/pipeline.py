@@ -150,6 +150,18 @@ def _resolve_device_l2() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _resolve_device_gate() -> bool:
+    """Decide whether candidate gating + the NF tracker run on device.
+
+    'auto' (default) follows the device-L2 decision — the gating scan
+    consumes the device L2 results, so it is only available there.
+    DUMPVDL2_TPU_GATE=0 forces the host loop (keeps the magnitude
+    stream in the drain); =1 is accepted but still requires device L2.
+    """
+    import os
+    return os.environ.get("DUMPVDL2_TPU_GATE", "auto") != "0"
+
+
 @dataclass
 class ChannelState:
     freq: int
@@ -201,6 +213,14 @@ class VDL2Pipeline:
         self._ema_zi = np.zeros((C, 1))
         self._residual = np.zeros(0, dtype=np.complex64)
         self.use_device_l2 = _resolve_device_l2()
+        # Device-side gating + NF tracker (core/nf_gate.py): the whole
+        # per-channel state machine runs on device, the drain carries
+        # verdicts instead of the magnitude stream.  Host-loop parity
+        # is pinned by tests/test_nf_gate.py dual-mode differentials.
+        self.use_device_gate = self.use_device_l2 and _resolve_device_gate()
+        self._gate_state = None
+        self._gate_base = 0
+        self._freqs_f32 = np.asarray(self.freqs, np.float32)
         # Pipelined host loop (reference analog: producer/demod thread
         # overlap across the barrier pair, dumpvdl2.c:117-135): block
         # N's device step is dispatched before older blocks' results
@@ -360,6 +380,130 @@ class VDL2Pipeline:
     def _fetch_candidates(self, cands, l2):
         from ..utils.fetch import coalesced_get
         return coalesced_get(self._candidate_fields(cands, l2))
+
+    # ------------------------------------------------------- device gating
+    def _gate_rows(self, l2_map):
+        """Slot -> L2 batch row map as a (C, K) device/host array."""
+        if l2_map is not None:
+            return l2_map
+        C, K = len(self.channels), self.max_candidates
+        return np.arange(C * K, dtype=np.int32).reshape(C, K)
+
+    def _gate_delta(self, base: int) -> np.int32:
+        from . import nf_gate
+        d = base - self._gate_base
+        self._gate_base = base
+        return np.int32(np.clip(d, -nf_gate.MAX_DELTA,
+                                nf_gate.MAX_DELTA))
+
+    def _dispatch_gate(self, cands, l2, l2_map, pwr3, base: int, H: int):
+        """Launch the device gate+NF step for one block (state chains
+        on device; see core/nf_gate.py)."""
+        from . import nf_gate
+        if self._gate_state is None:
+            self._gate_state = nf_gate.init_state(len(self.channels))
+        out, self._gate_state = nf_gate.gate_nf_single(
+            cands.count, cands.det_idx, cands.sync_idx, cands.sym_valid,
+            cands.dphi, self._gate_rows(l2_map), l2["hdr_ok"],
+            l2["bits_consumed"], pwr3, np.int32(H),
+            self._gate_delta(base), self._gate_state, self._freqs_f32,
+            np.float32(self.max_ppm))
+        return out
+
+    def _process_verdicts(self, gout, fetched, l2_np, l2_map_np,
+                          base: int) -> list[DecodedFrame]:
+        """Device-gated twin of _process_candidates: the decisions were
+        made on device; the host only mirrors state, bumps the
+        reference counters, and assembles frames for accepts."""
+        from . import nf_gate as ng
+        out: list[DecodedFrame] = []
+        v = np.asarray(gout["verdicts"])
+        nf_read = np.asarray(gout["nf_read"])
+        count, det_idx, sync_idx, dphi, pherr, sym_valid = fetched
+        self._last_proc_base = base
+        deferred = np.asarray(gout["deferred_at"])
+        mins = deferred[deferred >= 0]
+        self.last_deferred_min = base + int(mins.min()) if mins.size \
+            else None
+        K = det_idx.shape[1]
+
+        def l2_row(c: int, k: int) -> int:
+            return int(l2_map_np[c, k]) if l2_map_np is not None \
+                else c * self.max_candidates + k
+
+        for c, ch in enumerate(self.channels):
+            if int(count[c]) > K:
+                ch.bump("demod.sync.overflow")
+            # mirror the carried device state (debug / introspection;
+            # the decisions themselves never consult these mirrors)
+            ch.busy_until = base + int(gout["busy_until"][c])
+            ch.next_det_min = base + int(gout["next_det_min"][c])
+            ch.mag_nf = float(gout["mag_nf"][c])
+            ch.mag_lp = float(gout["mag_lp"][c])
+            ch.nfcnt = int(gout["nfcnt"][c])
+            ch.nf_hold = base + int(gout["hold"][c]) \
+                if bool(gout["hold_active"][c]) else None
+            ch.deferred_at = None
+            vc = v[c]
+            for k in np.nonzero((vc != ng.V_EMPTY) & (vc != ng.V_SKIP)
+                                & (vc != ng.V_UNPROCESSED))[0]:
+                verdict = int(vc[k])
+                det_g = base + int(det_idx[c, k])
+                sp_g = base + int(sync_idx[c, k])
+                if verdict == ng.V_L2_OVERFLOW:
+                    ch.bump("demod.sync.overflow")
+                    continue
+                if verdict in (ng.V_DEFER, ng.V_EOF_SHORT):
+                    continue
+                ch.bump("demod.sync.good")
+                debug_print(D_DEMOD,
+                            "ch %d (%d Hz): sync at %d err=%.3f dphi=%.5f",
+                            c, ch.freq, sp_g, float(pherr[c, k]),
+                            float(dphi[c, k]))
+                if verdict == ng.V_DEFER_DATA:
+                    continue
+                if verdict == ng.V_HDR_REJECT:
+                    res = _result_from_batch(l2_np, l2_row(c, k))
+                    debug_print(D_BURST, "ch %d: header rejected (%s)",
+                                c, res.reason)
+                    ch.bump(_error_counter(res.reason))
+                    continue
+                if verdict == ng.V_EOF_TRUNC:
+                    ch.bump("decoder.errors.eof_truncated")
+                    continue
+                if verdict == ng.V_PPM_REJECT:
+                    continue
+                # V_ACCEPT
+                row = l2_row(c, k)
+                res = _result_from_batch(l2_np, row)
+                ppm = SYMBOL_RATE * float(dphi[c, k]) \
+                    / (2.0 * math.pi * ch.freq) * 1e6
+                debug_print(D_BURST,
+                            "ch %d: burst ok=%s reason=%s datalen=%d "
+                            "blocks=%d fec_corr=%d frames=%d",
+                            c, res.ok, res.reason or "-", res.datalen,
+                            res.blocks_processed,
+                            res.num_fec_corrections, len(res.frames))
+                for fr in res.frames:
+                    debug_print_buf_hex(D_BURST_DETAIL, fr,
+                                        "unstuffed frame:")
+                frame_pwr = float(l2_np["frame_pwr"][row])
+                self._count_burst(ch, res, frame_pwr)
+                nf = float(nf_read[c, k])
+                for i, frame in enumerate(res.frames):
+                    md = MsgMetadata(
+                        station_id=self.station_id, freq=ch.freq,
+                        frame_pwr_dbfs=10.0 * math.log10(
+                            max(frame_pwr, 1e-30)),
+                        nf_pwr_dbfs=20.0 * math.log10(nf + 0.001),
+                        ppm_error=ppm,
+                        burst_timestamp=time.time(),
+                        datalen_octets=res.datalen_octets,
+                        synd_weight=res.synd_weight,
+                        num_fec_corrections=res.num_fec_corrections,
+                        idx=i)
+                    out.append(DecodedFrame(metadata=md, frame=frame))
+        return out
 
     def _process_candidates(self, cands, base: int, eof: bool,
                             l2=None, l2_map=None, fetched=None,
@@ -578,14 +722,24 @@ class VDL2Pipeline:
         # the DEVICE pass of the following block (the carried halo
         # retains a full max-length burst), independent of when the
         # host drains the results.
-        fut = self._submit_fetch(
-            (_mag16(pwr3), self._candidate_fields(cands, l2), l2, l2_map))
-        # queue carries NO device arrays: the fetch future owns the only
-        # references, so each block's (C, K, S) symbol/power buffers are
-        # freed as soon as the transfer completes (hundreds of MB per
-        # block at wideband), instead of pinning HBM for the queue's
-        # lifetime
-        self._pending_q.append((l2 is not None, fut, base, base + H))
+        if self.use_device_gate and l2 is not None:
+            # Device gating: the gate+NF step chains its own carried
+            # state on device; the drain fetches verdicts + per-accept
+            # noise-floor readings instead of the magnitude stream.
+            gout = self._dispatch_gate(cands, l2, l2_map, pwr3, base, H)
+            fut = self._submit_fetch(
+                (gout, self._candidate_fields(cands, l2), l2, l2_map))
+            self._pending_q.append(("gate", fut, base, base + H))
+        else:
+            fut = self._submit_fetch(
+                (_mag16(pwr3), self._candidate_fields(cands, l2), l2,
+                 l2_map))
+            # queue carries NO device arrays: the fetch future owns the
+            # only references, so each block's (C, K, S) symbol/power
+            # buffers are freed as soon as the transfer completes
+            # (hundreds of MB per block at wideband), instead of
+            # pinning HBM for the queue's lifetime
+            self._pending_q.append((l2 is not None, fut, base, base + H))
         frames = []
         while len(self._pending_q) > 2 \
                 or (self._pending_q and self._pending_q[0][1].done()):
@@ -606,11 +760,17 @@ class VDL2Pipeline:
         """Host-process the oldest in-flight block, if any.
 
         EVERYTHING the host needs for the block — noise-tracker
-        magnitude columns, candidate fields, and the device-L2 results
-        — arrived in ONE background transfer (utils/fetch.py)."""
+        magnitude columns (host-gated mode) or gate verdicts
+        (device-gated mode), candidate fields, and the device-L2
+        results — arrived in ONE background transfer (utils/fetch.py).
+        """
         if not self._pending_q:
             return []
         has_l2, fut, base, nf_base = self._pending_q.popleft()
+        if has_l2 == "gate":
+            gout, fetched, l2_np, l2_map_np = fut.result()
+            return self._process_verdicts(gout, fetched, l2_np,
+                                          l2_map_np, base)
         mags_np, fetched, l2_np, l2_map_np = fut.result()
         self._stash_noise_block(mags_np, nf_base)
         # cands/l2 device arrays were released with the fetch; the
@@ -643,6 +803,23 @@ class VDL2Pipeline:
                                self.max_candidates, MAX_BURST_SYMS)
         l2, l2_map = self._launch_l2(cands)
         from ..utils.fetch import coalesced_get
+        if self.use_device_gate and l2 is not None:
+            # EOF through the device gate: no fresh magnitude columns
+            # (the host's finish() never stashes a noise block either).
+            from . import nf_gate
+            if self._gate_state is None:
+                self._gate_state = nf_gate.init_state(len(self.channels))
+            gout, self._gate_state = nf_gate.gate_only(
+                cands.count, cands.det_idx, cands.sync_idx,
+                cands.sym_valid, cands.dphi, self._gate_rows(l2_map),
+                l2["hdr_ok"], l2["bits_consumed"],
+                self._gate_delta(self.hist_base), self._gate_state,
+                self._freqs_f32, np.float32(self.max_ppm), eof=True)
+            gout_np, fetched, l2_np, l2_map_np = coalesced_get(
+                (gout, self._candidate_fields(cands, l2), l2, l2_map))
+            frames.extend(self._process_verdicts(
+                gout_np, fetched, l2_np, l2_map_np, self.hist_base))
+            return frames
         fetched, l2_np, l2_map_np = coalesced_get(
             (self._candidate_fields(cands, l2), l2, l2_map))
         frames.extend(self._process_candidates(
