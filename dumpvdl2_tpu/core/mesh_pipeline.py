@@ -121,9 +121,10 @@ class MeshPipeline(VDL2Pipeline):
 
         l2, l2_inv = self._launch_l2_flat(cands)   # dispatch pre-fetch
         override_info = None
+        prepend_dec = 0
+        Ml = block.shape[1] // self.Tn // self.oversample
         if override_state:
             prepend_dec = prepend.shape[1] // self.oversample
-            Ml = block.shape[1] // self.Tn // self.oversample
             override_info = (prepend_dec, Ml)
         # Double-buffered drain (see VDL2Pipeline.feed_planar): the
         # PREVIOUS block's candidates are fetched only now that this
@@ -131,7 +132,26 @@ class MeshPipeline(VDL2Pipeline):
         # block late re-reads from the raw tail, which _push_tail sizes
         # to retain one extra block for exactly this case.
         frames = self._drain_pending()
-        self._pending = (cands, l2, l2_inv, pwr3, base_raw, override_info)
+        if self.use_device_gate and l2 is not None:
+            # device-side merge + gate + NF (core/nf_gate.gate_nf_mesh);
+            # the drain fetches verdicts + merged candidate fields
+            # instead of the magnitude stream
+            from . import nf_gate
+            if self._gate_state is None:
+                self._gate_state = nf_gate.init_state(len(self.freqs))
+            base_dec = base_raw // self.oversample
+            gout, merged, self._gate_state = nf_gate.gate_nf_mesh(
+                cands.count, cands.det_idx, cands.sync_idx, cands.dphi,
+                cands.pherr, cands.sym_valid, l2_inv, l2["hdr_ok"],
+                l2["bits_consumed"], pwr3, np.int32(Ml),
+                np.int32(prepend_dec), self._gate_delta(base_dec),
+                self._gate_state, self._freqs_f32,
+                np.float32(self.max_ppm))
+            self._pending = ("gate", gout, merged, cands.count, l2,
+                             base_dec)
+        else:
+            self._pending = (cands, l2, l2_inv, pwr3, base_raw,
+                             override_info)
         if eof:
             frames.extend(self.finish())
         return frames
@@ -139,6 +159,26 @@ class MeshPipeline(VDL2Pipeline):
     def _drain_pending(self):
         if self._pending is None:
             return []
+        if self._pending[0] == "gate":
+            from ..utils.fetch import coalesced_get
+            _, gout, merged, count_tc, l2, base_dec = self._pending
+            self._pending = None
+            gout_np, merged_np, count_np, l2_np = coalesced_get(
+                (gout, merged, count_tc, l2))
+            # host _merge_candidates bumps overflow per (shard, channel)
+            # whose detections exceeded the K slots
+            for t, c in zip(*np.nonzero(count_np > self.max_candidates)):
+                self.channels[c].bump("demod.sync.overflow")
+            fetched = (merged_np["count"], merged_np["det_idx"],
+                       merged_np["sync_idx"], merged_np["dphi"],
+                       merged_np["pherr"], merged_np["sym_valid"])
+            frames = self._process_verdicts(
+                gout_np, fetched, l2_np, merged_np["l2_row"], base_dec)
+            if self.last_deferred_min is not None:
+                self._prepend_from = max(
+                    0, (self.last_deferred_min - _DEFER_MARGIN)
+                    * self.oversample)
+            return frames
         cands, l2, l2_inv, pwr3, base_raw, override_info = self._pending
         self._pending = None
         # one roundtrip: candidate fields + magnitudes + device-L2
@@ -215,10 +255,25 @@ class MeshPipeline(VDL2Pipeline):
                                self.max_candidates, MAX_BURST_SYMS)
         l2, l2_map = self._launch_l2(cands)
         from ..utils.fetch import coalesced_get
+        start_dec = start_raw // self.oversample
+        if self.use_device_gate and l2 is not None:
+            from . import nf_gate
+            if self._gate_state is None:
+                self._gate_state = nf_gate.init_state(len(self.freqs))
+            gout, self._gate_state = nf_gate.gate_only(
+                cands.count, cands.det_idx, cands.sync_idx,
+                cands.sym_valid, cands.dphi, self._gate_rows(l2_map),
+                l2["hdr_ok"], l2["bits_consumed"],
+                self._gate_delta(start_dec), self._gate_state,
+                self._freqs_f32, np.float32(self.max_ppm), eof=True)
+            gout_np, fetched, l2_np, l2_map_np = coalesced_get(
+                (gout, self._candidate_fields(cands, l2), l2, l2_map))
+            return frames0 + self._process_verdicts(
+                gout_np, fetched, l2_np, l2_map_np, start_dec)
         fetched, l2_np, l2_map_np = coalesced_get(
             (self._candidate_fields(cands, l2), l2, l2_map))
         return frames0 + self._process_candidates(
-            cands, start_raw // self.oversample, eof=True, l2=l2,
+            cands, start_dec, eof=True, l2=l2,
             l2_map=l2_map_np, fetched=fetched, l2_np=l2_np)
 
     # --------------------------------------------------------- helpers

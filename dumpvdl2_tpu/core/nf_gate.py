@@ -13,35 +13,42 @@ Reference analog: the DM_* state machine + magnitude EMA / noise floor
 of demod.c:229-285 and the decode gating of decode.c:198-258,
 re-expressed block-wise.
 
-Semantics replicated 1:1 from the host loop (pipeline.py), with one
-derived simplification proven against it by tests/test_nf_gate.py and
-the dual-mode pipeline differentials: the host's hold/replay magnitude
-ring (ChannelState.nf_saved) never carries columns across a block
-boundary on any reachable path —
+Host-loop semantics replicated 1:1 (pinned by tests/test_nf_gate.py
+full-pipeline dual-mode differentials on synthesized IQ):
 
-* columns saved while a deferred burst is undecided are dropped at
-  resolution whenever the resolving candidate claims a busy window
-  (header-reject or accept), because every saved column precedes the
-  resolution sync point and the claimed window starts there;
-* a deferral whose re-detection vanished replays its saved columns
-  within the same ``_finish_noise_block`` call that saved them;
-* non-advancing resolutions (ppm/overflow/EOF) release the hold before
-  any column was saved.
+* per block, the tracker consumes magnitude columns in index order
+  restricted to a computable mask — the pre-existing busy frontier,
+  per-candidate claimed windows (header-reject: 9 symbols, accept: the
+  burst length), the hold drop-interval, and the deferral frontier;
+* a noise-floor update fires at every 1000th TRACKED column with the
+  EMA value at that column;
+* each accepted candidate reads the state as of its sync point (plus
+  any hold-release replay that resolution triggered — see below);
+* columns encountered while a deferral hold is pending are SAVED, not
+  tracked; when the hold releases they are replayed through the
+  tracker (in saved order, before any later column) filtered to
+  positions at/after the busy window the resolution established.
 
-So per block the tracker is exactly: an EMA over the block's magnitude
-columns restricted to a computable mask (pre-existing busy window,
-per-candidate claimed windows, the hold drop-interval, the deferral
-frontier), with a noise-floor update at every 1000th tracked column
-and per-candidate state readings at each accept's sync point.  That is
-a linear recurrence -> ``lax.associative_scan`` over affine maps (f32,
-log-depth; MAG_LP = 0.9 forbids the closed-form inverse-power trick),
-plus a tiny ``lax.scan`` over the <= M/1000 crossing slots.
+The saved-column ring (host: ``ChannelState.nf_saved``) must be carried
+ON DEVICE: the mesh pipeline's one-block drain lag routinely leaves the
+hold position behind the next block's base (columns accumulate until
+the prepend re-read resolves the burst), and even the single-device
+path can save columns across blocks when a held re-detection vanishes
+while a later candidate in the same block defers.  State layout:
+``ring_pos``/``ring_val`` (C, RING) + ``ring_n`` — positions rebased
+per block like every other carried index.  The ring is processed as a
+PREFIX of the block's column stream (exactly the host's replay order);
+appends happen when the hold persists.  Capacity: the host list is
+unbounded; the device ring drops overflowing columns beyond RING
+(reachable only if a deferral persists for several wideband blocks —
+noise-floor-only effect, decode decisions are unaffected).
 
-The one pathological host path that DOES retain ring columns — a hold
-whose position was never re-covered because the deferral fell outside
-the carried halo (impossible while the halo >= a max-length burst) —
-is approximated by not tracking those columns at all; divergence would
-need base > hold, which the halo sizing rules out.
+The EMA is a linear recurrence -> ``lax.associative_scan`` over affine
+maps (f32, log-depth; MAG_LP = 0.9 rules out the closed-form
+inverse-power formulation), plus a tiny ``lax.scan`` over the
+per-1000-column crossing slots.  f32 vs the host's f64 drifts ~1e-6
+relative — three orders below the 0.1 dB display resolution (golden
+fixtures pass byte-identical in both modes).
 
 int32 hygiene: all carried indices are RELATIVE to the current block's
 base; the caller passes the inter-block base delta and the rebase
@@ -66,7 +73,7 @@ from .gate_scan import (V_ACCEPT, V_DEFER, V_DEFER_DATA, V_EMPTY,
 DECIDED_VERDICTS = (V_L2_OVERFLOW, V_EOF_SHORT, V_HDR_REJECT,
                     V_EOF_TRUNC, V_PPM_REJECT, V_ACCEPT)
 # Verdicts whose host path advanced the tracker to the sync point and
-# claimed a busy window (the hold drop-interval cases).
+# claimed a busy window (hold drop-interval / replay-filter cases).
 ADVANCE_VERDICTS = (V_HDR_REJECT, V_ACCEPT)
 # Verdicts that bump demod.sync.good (header fitted the block).
 SYNC_GOOD_VERDICTS = (V_DEFER_DATA, V_HDR_REJECT, V_EOF_TRUNC,
@@ -75,9 +82,10 @@ SYNC_GOOD_VERDICTS = (V_DEFER_DATA, V_HDR_REJECT, V_EOF_TRUNC,
 _FLOOR = -(1 << 30)        # "long in the past" clamp for rebased indices
 MAX_DELTA = 1 << 29        # caller clamps base deltas here (semantically
                            # equivalent: anything further back is past)
+RING = 32768               # held-column ring capacity per channel
 
 
-def init_state(C: int) -> dict:
+def init_state(C: int, ring: int = RING) -> dict:
     """Fresh carried device state (mirrors ChannelState defaults)."""
     return {
         "busy_until": jnp.zeros((C,), jnp.int32),
@@ -87,6 +95,9 @@ def init_state(C: int) -> dict:
         "mag_lp": jnp.zeros((C,), jnp.float32),
         "mag_nf": jnp.full((C,), 2.0, jnp.float32),
         "nfcnt": jnp.zeros((C,), jnp.int32),
+        "ring_pos": jnp.full((C, ring), _FLOOR, jnp.int32),
+        "ring_val": jnp.zeros((C, ring), jnp.float32),
+        "ring_n": jnp.zeros((C,), jnp.int32),
     }
 
 
@@ -101,7 +112,7 @@ def _rebase(state: dict, delta) -> dict:
     """Shift carried indices to the new block base (int32-safe)."""
     d = jnp.int32(delta)
     st = dict(state)
-    for k in ("busy_until", "next_det_min", "hold"):
+    for k in ("busy_until", "next_det_min", "hold", "ring_pos"):
         st[k] = jnp.maximum(state[k] - d, jnp.int32(_FLOOR))
     return st
 
@@ -127,24 +138,69 @@ def _gate(count, det_idx, sync_idx, sym_valid, dphi, l2_row,
     return g, bits
 
 
-def _nf_track(verdicts, sync_idx, bits, pwr3, col_pos, col_keep,
-              state, deferred, end_rel):
-    """Masked EMA + noise-floor crossings for one block's columns.
+def _decisions(verdicts, sync_idx, bits, state, deferred):
+    """Hold bookkeeping shared by every entry point.
 
-    ``col_pos`` (W,) int32: host-effective (rebased) decimated index of
-    each magnitude column, strictly increasing.  ``col_keep``: columns
-    the host would consider at all (mesh prepend re-reads drop some).
-    Returns (nf_read (C,K), new mag_lp/mag_nf/nfcnt, hold bookkeeping
-    inputs any_decided/first-slot info are computed here too).
+    Returns a dict with: released, drop_end (block-column low bound
+    from the hold drop-interval), ring_filter (replay position filter),
+    track_none (hold persists: block columns are saved, not tracked),
+    append (hold persists and this block's columns go to the ring),
+    plus the new hold state.
+    """
+    hold0, hold_act = state["hold"], state["hold_active"]
+    busy0 = state["busy_until"]
+    total_syms = -(-bits // 3)
+    decided = _isin(verdicts, DECIDED_VERDICTS)
+    any_dec = decided.any(axis=1)
+    first = jnp.argmax(decided, axis=1)
+    ar = jnp.arange(verdicts.shape[0])
+    fv = verdicts[ar, first]
+    fsync = sync_idx[ar, first]
+    f_adv = _isin(fv, ADVANCE_VERDICTS)
+    busy_after_first = jnp.where(
+        fv == V_HDR_REJECT, fsync + 9 * SPS,
+        jnp.where(fv == V_ACCEPT,
+                  fsync + total_syms[ar, first] * SPS, busy0)) \
+        .astype(jnp.int32)
+
+    recovered = hold0 >= 0                    # block re-covered the hold
+    released = hold_act & (any_dec | ((deferred < 0) & recovered))
+    persist = hold_act & ~released
+    drop_end = jnp.where(hold_act & any_dec & f_adv, fsync,
+                         jnp.int32(_FLOOR))
+    ring_filter = jnp.where(any_dec & f_adv, busy_after_first, busy0)
+
+    hold1_act = persist | (deferred >= 0)
+    hold1 = jnp.where(
+        deferred >= 0,
+        jnp.where(persist, jnp.minimum(hold0, deferred), deferred),
+        hold0)
+    return {"released": released, "persist": persist,
+            "drop_end": drop_end, "ring_filter": ring_filter,
+            "hold": hold1, "hold_active": hold1_act}
+
+
+def _nf_track(verdicts, sync_idx, bits, mags, col_pos, col_keep,
+              state, dec, deferred, end_rel):
+    """Masked EMA + noise-floor crossings for one block.
+
+    The processed column stream is [ring (hold-release replay)] ++
+    [this block's columns]; ``col_pos`` (W,) int32 are host-effective
+    (rebased) decimated indices, strictly increasing; ``col_keep``
+    marks columns the host considers at all (mesh prepend re-reads
+    drop a prefix).  Returns (nf_read (C, K), new tracker state, new
+    ring state).
     """
     C, K = verdicts.shape
-    W = pwr3.shape[1]
+    W = mags.shape[1]
     busy0 = state["busy_until"]
-    hold0, hold_act = state["hold"], state["hold_active"]
     mag_lp0, mag_nf0, nfcnt0 = (state["mag_lp"], state["mag_nf"],
                                 state["nfcnt"])
+    ring_pos, ring_val, ring_n = (state["ring_pos"], state["ring_val"],
+                                  state["ring_n"])
+    R = ring_pos.shape[1]
 
-    # --- column mask ---------------------------------------------------
+    # --- block-column mask --------------------------------------------
     total_syms = -(-bits // 3)
     is_rej = verdicts == V_HDR_REJECT
     is_acc = verdicts == V_ACCEPT
@@ -152,39 +208,37 @@ def _nf_track(verdicts, sync_idx, bits, pwr3, col_pos, col_keep,
     ws = sync_idx
     we = sync_idx + jnp.where(is_rej, 9 * SPS,
                               total_syms * SPS).astype(jnp.int32)
-    a = jnp.searchsorted(col_pos, ws.reshape(-1)).reshape(C, K)
-    b = jnp.searchsorted(col_pos, we.reshape(-1)).reshape(C, K)
+    a = jnp.searchsorted(col_pos, ws.reshape(-1)).reshape(C, K) \
+        .astype(jnp.int32)
+    b = jnp.searchsorted(col_pos, we.reshape(-1)).reshape(C, K) \
+        .astype(jnp.int32)
     rows = jnp.arange(C, dtype=jnp.int32)[:, None]
     dlt = jnp.zeros((C, W + 1), jnp.int32)
     dlt = dlt.at[rows, a].add(win.astype(jnp.int32))
     dlt = dlt.at[rows, b].add(-win.astype(jnp.int32))
     inwin = jnp.cumsum(dlt, axis=1)[:, :W] > 0
 
-    decided = _isin(verdicts, DECIDED_VERDICTS)
-    any_dec = decided.any(axis=1)
-    first = jnp.argmax(decided, axis=1)
-    ar = jnp.arange(C)
-    fv = verdicts[ar, first]
-    fsync = sync_idx[ar, first]
-    drop_end = jnp.where(hold_act & any_dec & _isin(fv, ADVANCE_VERDICTS),
-                         fsync, jnp.int32(_FLOOR))
-    low = jnp.maximum(busy0, drop_end)
-
-    recovered = hold0 >= 0
-    persist_unrec = hold_act & ~any_dec & ~recovered
-    F = jnp.where(deferred >= 0, deferred,
-                  jnp.where(persist_unrec, jnp.int32(_FLOOR),
-                            jnp.int32(end_rel)))
-
-    track = (col_pos[None, :] >= low[:, None]) \
-        & (col_pos[None, :] < F[:, None]) & ~inwin
+    low = jnp.maximum(busy0, dec["drop_end"])
+    # while a hold persists, block columns are saved (ring), not tracked
+    F_track = jnp.where(dec["persist"], jnp.int32(_FLOOR),
+                        jnp.where(deferred >= 0, deferred,
+                                  jnp.int32(end_rel)))
+    track_blk = (col_pos[None, :] >= low[:, None]) \
+        & (col_pos[None, :] < F_track[:, None]) & ~inwin
     if col_keep is not None:
-        track = track & col_keep[None, :]
+        track_blk = track_blk & col_keep[None, :]
 
-    # --- EMA over tracked columns (affine associative scan) ------------
-    mag = jnp.sqrt(pwr3).astype(jnp.float16).astype(jnp.float32)
+    # --- ring replay (prefix of the stream) ---------------------------
+    slot = jnp.arange(R, dtype=jnp.int32)[None, :]
+    track_ring = (slot < ring_n[:, None]) & dec["released"][:, None] \
+        & (ring_pos >= dec["ring_filter"][:, None])
+
+    mags_all = jnp.concatenate([ring_val, mags], axis=1)
+    track = jnp.concatenate([track_ring, track_blk], axis=1)
+
+    # --- EMA over tracked columns (affine associative scan) -----------
     scale = jnp.where(track, jnp.float32(MAG_LP), jnp.float32(1.0))
-    off = jnp.where(track, jnp.float32(1.0 - MAG_LP) * mag,
+    off = jnp.where(track, jnp.float32(1.0 - MAG_LP) * mags_all,
                     jnp.float32(0.0))
     S, O = jax.lax.associative_scan(
         lambda l, r: (l[0] * r[0], l[1] * r[0] + r[1]),
@@ -193,15 +247,16 @@ def _nf_track(verdicts, sync_idx, bits, pwr3, col_pos, col_keep,
     s_cnt = jnp.cumsum(track.astype(jnp.int32), axis=1)
     total_n = s_cnt[:, -1]
 
-    # --- per-1000 noise-floor crossings --------------------------------
-    cap = W // 1000 + 1
+    # --- per-1000 noise-floor crossings -------------------------------
+    cap = (R + W) // 1000 + 1
     targets = jnp.arange(1, cap + 1, dtype=jnp.int32)[None, :] * 1000 \
         - nfcnt0[:, None]
-    jc = jax.vmap(lambda s, t: jnp.searchsorted(s, t))(s_cnt, targets)
+    jc = jax.vmap(lambda s_, t: jnp.searchsorted(s_, t))(s_cnt, targets) \
+        .astype(jnp.int32)
     ncross = (nfcnt0 + total_n) // 1000
     valid_c = jnp.arange(1, cap + 1, dtype=jnp.int32)[None, :] \
         <= ncross[:, None]
-    y_cross = jnp.take_along_axis(y, jnp.clip(jc, 0, W - 1), axis=1)
+    y_cross = jnp.take_along_axis(y, jnp.clip(jc, 0, R + W - 1), axis=1)
 
     def nf_step(nf, xs):
         yv, ok = xs
@@ -215,33 +270,70 @@ def _nf_track(verdicts, sync_idx, bits, pwr3, col_pos, col_keep,
                                    (y_cross.T, valid_c.T))
     nf_seq = nf_seq.T                                       # (C, cap)
 
-    # --- per-candidate noise-floor readings ----------------------------
-    bound = jnp.searchsorted(col_pos, sync_idx.reshape(-1)) \
-        .reshape(C, K)
+    # --- per-candidate noise-floor readings ---------------------------
+    # reads happen after the replay prefix, then after block columns
+    # strictly before the candidate's sync point
+    bound = jnp.int32(R) + jnp.searchsorted(
+        col_pos, sync_idx.reshape(-1)).reshape(C, K).astype(jnp.int32)
     r = ((jc[:, None, :] < bound[:, :, None]) & valid_c[:, None, :]) \
         .sum(axis=2)
     nf_read = jnp.where(
         r > 0,
-        jnp.take_along_axis(nf_seq, jnp.clip(r - 1, 0, cap - 1)[
-            :, :].reshape(C, K), axis=1),
+        jnp.take_along_axis(nf_seq, jnp.clip(r - 1, 0, cap - 1), axis=1),
         mag_nf0[:, None])
 
-    mag_lp1 = y[:, -1]
-    nfcnt1 = (nfcnt0 + total_n) % 1000
-    return nf_read, mag_lp1, mag_nf1, nfcnt1, any_dec, recovered
+    # --- ring update ---------------------------------------------------
+    # appended while the hold persists: kept columns past the busy
+    # frontier, up to the (new) deferral bound — exactly the host's
+    # save branch in _advance_noise_floor/_finish_noise_block
+    F_app = jnp.where(deferred >= 0, deferred, jnp.int32(end_rel))
+    app = dec["persist"][:, None] & (col_pos[None, :] >= busy0[:, None]) \
+        & (col_pos[None, :] < F_app[:, None])
+    if col_keep is not None:
+        app = app & col_keep[None, :]
+    base_n = jnp.where(dec["released"], 0, ring_n)
+    keep_old = ~dec["released"][:, None] & (slot < ring_n[:, None])
+    rank = jnp.cumsum(app.astype(jnp.int32), axis=1) - 1
+    idx = jnp.where(app, base_n[:, None] + rank, R)
+    idx = jnp.minimum(idx, R)                 # overflow -> dropped
+    pos1 = jnp.where(keep_old, ring_pos, jnp.int32(_FLOOR))
+    val1 = jnp.where(keep_old, ring_val, 0.0)
+    pos1 = jnp.concatenate([pos1, jnp.full((C, 1), _FLOOR, jnp.int32)],
+                           axis=1)
+    val1 = jnp.concatenate([val1, jnp.zeros((C, 1), jnp.float32)],
+                           axis=1)
+    pos1 = pos1.at[rows, idx].set(
+        jnp.where(app, col_pos[None, :], pos1[rows, idx]))[:, :R]
+    val1 = val1.at[rows, idx].set(
+        jnp.where(app, mags_all[:, R:], val1[rows, idx]))[:, :R]
+    ring_n1 = jnp.minimum(base_n + app.sum(axis=1), R).astype(jnp.int32)
+
+    new = {"mag_lp": y[:, -1], "mag_nf": mag_nf1,
+           "nfcnt": (nfcnt0 + total_n) % 1000,
+           "ring_pos": pos1, "ring_val": val1, "ring_n": ring_n1}
+    return nf_read, new
 
 
-def _hold_update(state, any_dec, recovered, deferred):
-    """Host _finish_noise_block + decided() hold bookkeeping."""
-    hold0, hold_act = state["hold"], state["hold_active"]
-    hold_mid_act = hold_act & ~any_dec          # decided => released
-    keep = hold_mid_act & ~((deferred < 0) & recovered)  # vanish-release
-    hold1_act = keep | (deferred >= 0)
-    hold1 = jnp.where(
-        deferred >= 0,
-        jnp.where(keep, jnp.minimum(hold0, deferred), deferred),
-        hold0)
-    return hold1, hold1_act
+def _mag(pwr3):
+    """Device magnitude with the same f16 wire rounding the host-gated
+    drain applies (pipeline._mag16), so both modes track identical
+    inputs."""
+    return jnp.sqrt(pwr3).astype(jnp.float16).astype(jnp.float32)
+
+
+def _finish_state(g, dec, nf_new):
+    return {"busy_until": g["busy_until"],
+            "next_det_min": g["next_det_min"],
+            "hold": dec["hold"], "hold_active": dec["hold_active"],
+            **nf_new}
+
+
+def _out(g, nf_read, state):
+    return {"verdicts": g["verdicts"], "nf_read": nf_read,
+            "deferred_at": g["deferred_at"],
+            **{k: state[k] for k in (
+                "busy_until", "next_det_min", "hold", "hold_active",
+                "mag_lp", "mag_nf", "nfcnt", "ring_n")}}
 
 
 @partial(jax.jit, static_argnames=())
@@ -262,43 +354,103 @@ def gate_nf_single(count, det_idx, sync_idx, sym_valid, dphi, l2_row,
     col_pos = jnp.int32(nf_base_rel) \
         + 3 * jnp.arange(W, dtype=jnp.int32)
     end_rel = jnp.int32(nf_base_rel) + 3 * W
-    nf_read, mag_lp1, mag_nf1, nfcnt1, any_dec, recovered = _nf_track(
-        g["verdicts"], sync_idx, bits, pwr3, col_pos, None, st,
-        g["deferred_at"], end_rel)
-    hold1, hold1_act = _hold_update(st, any_dec, recovered,
-                                    g["deferred_at"])
-    new_state = {
-        "busy_until": g["busy_until"], "next_det_min": g["next_det_min"],
-        "hold": hold1, "hold_active": hold1_act,
-        "mag_lp": mag_lp1, "mag_nf": mag_nf1, "nfcnt": nfcnt1,
-    }
-    out = {"verdicts": g["verdicts"], "nf_read": nf_read,
-           "deferred_at": g["deferred_at"], **new_state}
-    return out, new_state
+    dec = _decisions(g["verdicts"], sync_idx, bits, st,
+                     g["deferred_at"])
+    nf_read, nf_new = _nf_track(g["verdicts"], sync_idx, bits,
+                                _mag(pwr3), col_pos, None, st, dec,
+                                g["deferred_at"], end_rel)
+    new_state = _finish_state(g, dec, nf_new)
+    return _out(g, nf_read, new_state), new_state
+
+
+@partial(jax.jit, static_argnames=())
+def gate_nf_mesh(count_tc, det, sync, dphi, pherr, sym_valid, inv_flat,
+                 hdr_rows, bits_rows, pwr3, Ml, prepend_dec, delta,
+                 state, freqs, max_ppm):
+    """Mesh-mode gate + NF step: device-side candidate merge (the
+    host's MeshPipeline._merge_candidates re-expressed as a stable
+    argsort) followed by the same gate/NF machinery.
+
+    Candidate arrays are (Tn, C, K) as produced by the sharded step
+    (indices already rebased to block-global decimated coords relative
+    to base_dec); ``pwr3`` is (C, Tn*X) with X = ceil(Ml/3) per-shard
+    magnitude columns.  ``prepend_dec`` > 0 on deferred-burst re-read
+    blocks: columns re-covering prepended samples are dropped and the
+    rest take the host's rank-based positions (mesh_pipeline.py drain
+    — including its <=2-sample per-shard misalignment approximation,
+    replicated so dual-mode parity holds bit-for-bit).
+
+    Returns (out, merged, new_state): ``merged`` carries the compacted
+    per-channel candidate fields the host drain needs for metadata.
+    """
+    Tn, C, K = det.shape
+    cnt = jnp.minimum(count_tc, K)
+    valid = jnp.arange(K, dtype=jnp.int32)[None, None, :] \
+        < cnt[:, :, None]
+
+    def tr(a):
+        return jnp.moveaxis(a, 0, 1).reshape((C, Tn * K))
+
+    vflat = tr(valid)
+    order = jnp.argsort(~vflat, axis=1, stable=True).astype(jnp.int32)
+
+    def take(a):
+        return jnp.take_along_axis(tr(a), order, axis=1)
+
+    det_m, sync_m = take(det), take(sync)
+    dphi_m, pherr_m, sv_m = take(dphi), take(pherr), take(sym_valid)
+    mcount = vflat.sum(axis=1).astype(jnp.int32)
+    flat = (jnp.arange(Tn, dtype=jnp.int32)[:, None, None] * C
+            + jnp.arange(C, dtype=jnp.int32)[None, :, None]) * K \
+        + jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    flat_m = take(flat)
+    row_m = inv_flat[jnp.clip(flat_m, 0, inv_flat.shape[0] - 1)] \
+        if inv_flat is not None else flat_m
+
+    st = _rebase(state, delta)
+    g, bits = _gate(mcount, det_m, sync_m, sv_m, dphi_m, row_m,
+                    hdr_rows, bits_rows, st, freqs, max_ppm, eof=False)
+
+    # host-effective column positions: shard s column jj covers data
+    # position s*Ml + 3*jj; kept columns are renumbered prepend + 3*rank
+    W = pwr3.shape[1]
+    X = W // Tn
+    j = jnp.arange(W, dtype=jnp.int32)
+    s, jj = j // X, j % X
+    data_pos = s * jnp.int32(Ml) + 3 * jj
+    n_drop = (data_pos < jnp.int32(prepend_dec)).sum().astype(jnp.int32)
+    col_pos = jnp.int32(prepend_dec) + 3 * (j - n_drop)
+    col_keep = j >= n_drop
+    end_rel = jnp.int32(prepend_dec) + 3 * (W - n_drop)
+    dec = _decisions(g["verdicts"], sync_m, bits, st, g["deferred_at"])
+    nf_read, nf_new = _nf_track(g["verdicts"], sync_m, bits,
+                                _mag(pwr3), col_pos, col_keep, st, dec,
+                                g["deferred_at"], end_rel)
+    new_state = _finish_state(g, dec, nf_new)
+    merged = {"count": mcount, "det_idx": det_m, "sync_idx": sync_m,
+              "dphi": dphi_m, "pherr": pherr_m, "sym_valid": sv_m,
+              "l2_row": row_m}
+    return _out(g, nf_read, new_state), merged, new_state
 
 
 @partial(jax.jit, static_argnames=("eof",))
 def gate_only(count, det_idx, sync_idx, sym_valid, dphi, l2_row,
               hdr_rows, bits_rows, delta, state, freqs, max_ppm,
               eof: bool = True):
-    """Gate without magnitude columns (the EOF flush path: finish()
-    re-demodulates the carried halo; there are no fresh samples, so the
-    tracker state is read but not advanced — same as the host, whose
-    finish() never stashes a noise block)."""
+    """Gate without fresh magnitude columns (the EOF flush path:
+    finish() re-demodulates the carried halo; there are no new samples,
+    but a resolution can still release the hold and replay the RING —
+    the host's finish() does exactly that through decided())."""
     st = _rebase(state, delta)
-    g, _bits = _gate(count, det_idx, sync_idx, sym_valid, dphi, l2_row,
-                     hdr_rows, bits_rows, st, freqs, max_ppm, eof=eof)
-    nf_read = jnp.broadcast_to(st["mag_nf"][:, None], det_idx.shape)
-    hold1, hold1_act = _hold_update(
-        st, _isin(g["verdicts"], DECIDED_VERDICTS).any(axis=1),
-        st["hold"] >= 0, g["deferred_at"])
-    new_state = dict(st)
-    new_state.update(busy_until=g["busy_until"],
-                     next_det_min=g["next_det_min"],
-                     hold=hold1, hold_active=hold1_act)
-    out = {"verdicts": g["verdicts"], "nf_read": nf_read,
-           "deferred_at": g["deferred_at"],
-           **{k: new_state[k] for k in (
-               "busy_until", "next_det_min", "hold", "hold_active",
-               "mag_lp", "mag_nf", "nfcnt")}}
-    return out, new_state
+    g, bits = _gate(count, det_idx, sync_idx, sym_valid, dphi, l2_row,
+                    hdr_rows, bits_rows, st, freqs, max_ppm, eof=eof)
+    C = det_idx.shape[0]
+    dec = _decisions(g["verdicts"], sync_idx, bits, st,
+                     g["deferred_at"])
+    empty = jnp.zeros((C, 0), jnp.float32)
+    nf_read, nf_new = _nf_track(g["verdicts"], sync_idx, bits, empty,
+                                jnp.zeros((0,), jnp.int32), None, st,
+                                dec, g["deferred_at"],
+                                jnp.int32(_FLOOR))
+    new_state = _finish_state(g, dec, nf_new)
+    return _out(g, nf_read, new_state), new_state

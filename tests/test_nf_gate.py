@@ -185,6 +185,48 @@ def test_dual_mode_noise_floor_trajectory():
     _assert_match([CENTER], span)
 
 
+def test_dual_mode_mesh_pipeline():
+    """MeshPipeline host-gated vs device-gated (gate_nf_mesh): the
+    device-side candidate merge, the per-shard column position
+    approximation, and the deferred-burst prepend re-read path."""
+    import jax
+
+    from dumpvdl2_tpu.core.mesh_pipeline import MeshPipeline
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rng = np.random.default_rng(12)
+    p1 = bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+    p2 = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    span = _span(600_000, seed=13)
+    _place(span, 40_000, _modulate(build_burst_bits([p1])))
+    # straddles the 2nd/3rd feed boundary -> deferral + prepend re-read
+    _place(span, 2 * 200_000 - 30_000, _modulate(build_burst_bits([p2])))
+
+    def run(gate):
+        pipe = MeshPipeline([CENTER], CENTER, int(FS), OS,
+                            mesh_shape=(1, 4))
+        pipe.use_device_l2 = True
+        pipe.use_device_gate = gate
+        frames = []
+        for off in range(0, span.size, 200_000):
+            frames += pipe.feed(span[off:off + 200_000])
+        frames += pipe.finish()
+        return pipe, frames
+
+    ph, fh = run(False)
+    pd, fd = run(True)
+    assert _sig(fd) == _sig(fh)
+    for a, b in zip(fh, fd):
+        assert abs(a.metadata.nf_pwr_dbfs - b.metadata.nf_pwr_dbfs) \
+            < 2e-4
+    for c, (ca, cb) in enumerate(zip(ph.channels, pd.channels)):
+        assert ca.stats == cb.stats, f"ch {c}"
+        assert ca.nfcnt == cb.nfcnt, f"ch {c} (track-mask divergence)"
+        assert ca.mag_nf == pytest.approx(cb.mag_nf, rel=1e-5)
+    assert sorted(bytes(f.frame) for f in fd) == \
+        sorted([frame_with_fcs(p1), frame_with_fcs(p2)])
+
+
 def test_dual_mode_rebase_near_int31():
     """Carried indices near 2^31: the device state is block-relative
     with a clamped rebase, so nothing wraps (round-4 caveat,
