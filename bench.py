@@ -21,8 +21,21 @@ import numpy as np
 
 
 def correctness_gate() -> None:
-    """Decode a known burst through the FULL pipeline (channelizer +
-    sync + device L2) on the real chip and require byte-exact frames.
+    """Decode a 3-burst vector through the FULL pipeline (channelizer +
+    sync + device L2 + device gating) on the real chip and require
+    byte-exact frames for all three:
+
+      * strong        — high-SNR short burst (gross-breakage canary),
+      * marginal      — label SNR 0 dB vs the stream noise floor, a few
+                        dB above the sync accept/reject crossing
+                        (tests/test_sync_margin_sweep.py places the
+                        divergence band at <= -3 dB), so a compiled-
+                        kernel numeric regression at the margin flips
+                        the decode before it flips the sweep,
+      * near-cap      — 1990-octet payload, within a few dozen bits of
+                        the reference's 0x3FFF-bit burst cap
+                        (decode.c:45-48): exercises the max-length L2
+                        geometry and the long busy-window gate path.
 
     The TPU-hw pytest markers may legitimately skip under chip
     contention, but this bench runs every round — a wrong-answer
@@ -39,21 +52,34 @@ def correctness_gate() -> None:
     fs = SYMBOL_RATE * SPS * os_
     center = 136.975e6
     rng = np.random.default_rng(1)
-    payload = b"bench correctness gate \x01\x02"
-    burst = synthesize_iq_raw([payload], oversample=os_,
-                              carrier_offset_hz=-25e3).astype(np.complex64)
-    sig = np.zeros(burst.size + 200000, np.complex64)
-    sig[100000:100000 + burst.size] = burst * 0.5
-    sig += (rng.standard_normal(sig.size)
-            + 1j * rng.standard_normal(sig.size)).astype(np.complex64) * .01
+    nfloor = 0.01
+    vector = [  # (name, payload, amplitude, carrier offset)
+        ("strong", b"bench correctness gate \x01\x02", 0.5, -25e3),
+        ("marginal", b"bench marginal-snr burst", nfloor, -25e3),
+        ("near-cap", bytes(rng.integers(0, 256, 1990, dtype=np.uint8)),
+         0.5, 0.0),
+    ]
+    gap = 60000
+    bursts = [synthesize_iq_raw([p], oversample=os_, carrier_offset_hz=
+                                off, seed=7 + i).astype(np.complex64)
+              for i, (_, p, _, off) in enumerate(vector)]
+    total = sum(b.size for b in bursts) + gap * (len(bursts) + 1)
+    sig = (rng.standard_normal(total) + 1j * rng.standard_normal(total)) \
+        .astype(np.complex64) * (nfloor / np.sqrt(2))
+    pos = gap
+    for b, (_, _, amp, _) in zip(bursts, vector):
+        sig[pos:pos + b.size] += b * amp
+        pos += b.size + gap
     pipe = VDL2Pipeline([int(center - 25e3 * i) for i in range(C)],
                         int(center), int(fs), os_)
     frames = pipe.feed(sig, eof=True)
-    want = frame_with_fcs(payload)
-    assert any(bytes(f.frame) == want and f.metadata.freq
-               == int(center - 25e3) for f in frames), \
-        f"TPU correctness gate failed: {[bytes(f.frame) for f in frames]}"
-    print("GATE OK", file=sys.stderr)
+    got = [(bytes(f.frame), f.metadata.freq) for f in frames]
+    for name, payload, _, off in vector:
+        want = (frame_with_fcs(payload), int(center + off))
+        assert want in got, (
+            f"TPU correctness gate failed [{name}]: "
+            f"{[(g[:24], fr) for g, fr in got]}")
+    print("GATE OK (strong + marginal + near-cap)", file=sys.stderr)
 
 
 def main() -> None:
@@ -81,10 +107,23 @@ def main() -> None:
     carry = jnp.zeros((2, taps.size - 1), jnp.float32)
     hist = jnp.zeros((2, C, halo), jnp.float32)
 
+    # On the axon remote backend jax.block_until_ready returns BEFORE
+    # the computation has executed (it only flushes the dispatch
+    # queue), so a dispatch-and-block loop measures dispatch rate, not
+    # compute — rounds 1-4 recorded exactly that fiction (thousands of
+    # "Msamples/s").  Honest protocol: dispatch INNER blocks
+    # back-to-back, then force completion by fetching one scalar from
+    # the LAST result — the device queue is serial, so the fetch
+    # returning proves all INNER executions finished.  Per-run time =
+    # batch/INNER (the one link round-trip amortizes, matching a
+    # streaming ingest that overlaps transfers).
+    INNER = 4
+
     def run():
-        out = process_block(iq, taps, dphi, jnp.uint32(0), carry, hist,
-                            os_, halo, SYNC_THRESHOLD, K, S)
-        jax.block_until_ready(out)
+        for _ in range(INNER):
+            out = process_block(iq, taps, dphi, jnp.uint32(0), carry,
+                                hist, os_, halo, SYNC_THRESHOLD, K, S)
+        np.asarray(jax.device_get(out[0].count.ravel()[0]))
 
     run()                          # compile
 
@@ -98,13 +137,14 @@ def main() -> None:
     # machine-readable contended flag so the recorded number is
     # interpretable on its own.
     REPEATS, MAX_BATCHES, STABLE_IQR = 10, 4, 0.3
-    # Historical uncontended median (BASELINE.md).  A steady NEIGHBOR
-    # workload makes a slow batch look perfectly stable, so stability
-    # alone cannot early-exit: the batch must also be in the expected
-    # performance range, and a final value far below it is flagged
-    # contended no matter how tight its IQR.
-    EXPECTED_MSPS = 5500.0
-    floor_s = N / (EXPECTED_MSPS / 2 * 1e6)
+    # Honest uncontended median under the round-5 forced-completion
+    # protocol (rounds 1-4 recorded dispatch rate; see run()).  A
+    # steady NEIGHBOR workload makes a slow batch look perfectly
+    # stable, so stability alone cannot early-exit: the batch must
+    # also be in the expected performance range, and a final value far
+    # below it is flagged contended no matter how tight its IQR.
+    EXPECTED_MSPS = 120.0
+    floor_s = INNER * N / (EXPECTED_MSPS / 2 * 1e6)
 
     batches = []
     for _ in range(MAX_BATCHES):
@@ -131,7 +171,7 @@ def main() -> None:
               and b["median_s"] <= floor_s]
     contended = not stable
     best = min(stable or batches, key=lambda b: b["median_s"])
-    msps = N / best["median_s"] / 1e6
+    msps = INNER * N / best["median_s"] / 1e6
     print(json.dumps({
         "metric": "iq_msamples_per_sec_per_chip_8ch",
         "value": round(msps, 1),
@@ -141,8 +181,8 @@ def main() -> None:
         "batches": len(batches),
         "contended": contended,
         "iqr_over_median": round(best["iqr_over_median"], 3),
-        "spread": [round(N / best["max_s"] / 1e6, 1),
-                   round(N / best["min_s"] / 1e6, 1)],
+        "spread": [round(INNER * N / best["max_s"] / 1e6, 1),
+                   round(INNER * N / best["min_s"] / 1e6, 1)],
     }))
 
 

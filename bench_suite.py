@@ -27,6 +27,24 @@ import numpy as np
 REPEATS = 10
 WAV = "/root/reference/test/vdl2_model_16b_1050kHz.wav"
 
+# Kernel-only rows dispatch KERNEL_INNER blocks per timed run and
+# force completion by fetching one scalar from the last result: on the
+# axon remote backend jax.block_until_ready returns before execution
+# (it only flushes the dispatch queue), so the round-1..4 kernel rows
+# measured dispatch rate, not compute.  The device queue is serial, so
+# the scalar arriving proves every dispatched block executed; the one
+# link round-trip amortizes over KERNEL_INNER blocks, matching a
+# streaming ingest that overlaps transfers.
+KERNEL_INNER = 4
+
+
+def _probe(out):
+    """Force REAL completion of ``out`` (and everything dispatched
+    before it) by fetching a single scalar."""
+    import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jax.device_get(leaves[0].ravel()[0]))
+
 
 _LAST_SPREAD = {}
 
@@ -138,17 +156,19 @@ def bench_channelizer_8ch():
     hist = jnp.zeros((2, C, halo), jnp.float32)
 
     def run():
-        out = process_block(iq, taps, dphi, jnp.uint32(0), carry, hist,
-                            os_, halo, SYNC_THRESHOLD, K, S)
-        jax.block_until_ready(out)
+        for _ in range(KERNEL_INNER):
+            out = process_block(iq, taps, dphi, jnp.uint32(0), carry,
+                                hist, os_, halo, SYNC_THRESHOLD, K, S)
+        _probe(out[0].count)
 
+    total = KERNEL_INNER * N
     dt = _median_time(run)
-    msps = N / dt / 1e6
+    msps = total / dt / 1e6
     return _with_spread(
         {"metric": "iq_msamples_per_sec_per_chip_8ch",
          "value": round(msps, 1), "unit": "Msamples/s",
          "vs_baseline": round(msps / 2.1, 1)},
-        lambda t: N / t / 1e6)
+        lambda t: total / t / 1e6)
 
 
 def bench_bit_level_decode():
@@ -168,12 +188,14 @@ def bench_bit_level_decode():
     batch = np.broadcast_to(syms, (B, S)).copy()
 
     def run():
-        out = l2_decode_batch(batch, S)
-        jax.block_until_ready(out)
+        for _ in range(KERNEL_INNER):
+            out = l2_decode_batch(batch, S)
+        _probe(out["hdr_ok"])
 
+    total = KERNEL_INNER * B
     dt = _median_time(run)
-    bursts_s = B / dt
-    cw_s = B * MAX_BLOCKS / dt
+    bursts_s = total / dt
+    cw_s = total * MAX_BLOCKS / dt
     # realtime requirement: a saturated 31.5 kbps channel sends at most
     # ~1.9 max-length bursts/s; vs_baseline = channels worth of bursts
     return _with_spread(
@@ -181,7 +203,7 @@ def bench_bit_level_decode():
          "value": round(bursts_s, 1), "unit": "bursts/s",
          "rs_codewords_per_sec": round(cw_s, 1),
          "vs_baseline": round(bursts_s / 1.9, 1)},
-        lambda t: B / t)
+        lambda t: total / t)
 
 
 def bench_e2e_streaming():
@@ -252,12 +274,14 @@ def bench_wideband_256ch():
     hist = jnp.zeros((2, C, halo), jnp.float32)
 
     def run():
-        out = process_block(iq, taps, dphi, jnp.uint32(0), carry, hist,
-                            os_, halo, SYNC_THRESHOLD, K, S)
-        jax.block_until_ready(out)
+        for _ in range(KERNEL_INNER):
+            out = process_block(iq, taps, dphi, jnp.uint32(0), carry,
+                                hist, os_, halo, SYNC_THRESHOLD, K, S)
+        _probe(out[0].count)
 
+    total = KERNEL_INNER * N
     dt = _median_time(run, repeats=10)
-    msps = N / dt / 1e6
+    msps = total / dt / 1e6
     # realtime needs fs = 8.4 Msps ingest; capacity = how many full
     # 256-channel wideband spans one chip could demodulate in realtime
     spans = msps / (fs / 1e6)
@@ -266,7 +290,7 @@ def bench_wideband_256ch():
          "value": round(msps, 1), "unit": "Msamples/s",
          "channels_at_realtime": int(spans * C),
          "vs_baseline": round(spans, 2)},
-        lambda t: N / t / 1e6)
+        lambda t: total / t / 1e6)
 
 
 def bench_wideband_e2e_256ch():

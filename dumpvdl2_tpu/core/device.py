@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import SYNC_THRESHOLD
-from ..dsp.demod import Candidates, find_and_slice_impl
+from ..dsp.demod import (Candidates, find_and_slice_impl,
+                         find_candidates_impl)
 from ..dsp.frontend import bandpass_channelize_impl
 
 
@@ -47,3 +48,31 @@ def process_block(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
     new_hist = block[:, :, block.shape[2] - keep:]
     pwr3 = dec[0, :, ::3] ** 2 + dec[1, :, ::3] ** 2
     return cands, new_hist, new_carry, pwr3
+
+
+@partial(jax.jit, static_argnames=("oversample", "halo", "max_candidates",
+                                   "max_symbols"))
+def process_block_detect(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
+                         n0: jax.Array, carry: jax.Array,
+                         hist: jax.Array, oversample: int, halo: int,
+                         threshold: float = SYNC_THRESHOLD,
+                         max_candidates: int = 64,
+                         max_symbols: int = 5616):
+    """process_block without the symbol slicing (device-L2 fast path).
+
+    Returns ``(dets, block, new_hist, new_carry, pwr3)``: the decimated
+    ``block`` (halo + fresh) stays device-resident so the compacted L2
+    launch (core/pipeline._launch_l2_sliced) can slice windows for the
+    few real candidates only, instead of materializing every (C, K, S)
+    slot — at wideband, ~GBs of HBM traffic per block for empty slots.
+    """
+    dec, new_carry = bandpass_channelize_impl(
+        iq, taps, dphi, n0, carry, oversample)
+    block = jnp.concatenate([hist, dec], axis=2)
+    phases = jnp.arctan2(block[1], block[0])
+    dets = find_candidates_impl(phases, threshold, max_candidates,
+                                max_symbols)
+    keep = min(halo, block.shape[2])
+    new_hist = block[:, :, block.shape[2] - keep:]
+    pwr3 = dec[0, :, ::3] ** 2 + dec[1, :, ::3] ** 2
+    return dets, block, new_hist, new_carry, pwr3

@@ -285,7 +285,12 @@ def _nf_track(verdicts, sync_idx, bits, mags, col_pos, col_keep,
     # --- ring update ---------------------------------------------------
     # appended while the hold persists: kept columns past the busy
     # frontier, up to the (new) deferral bound — exactly the host's
-    # save branch in _advance_noise_floor/_finish_noise_block
+    # save branch in _advance_noise_floor/_finish_noise_block.
+    # Formulated as a GATHER: appended columns land in contiguous ring
+    # slots (ranks of a monotone column stream), so ring slot s can
+    # look up its source column via searchsorted instead of a (C, W)
+    # scatter — TPU scatters of that size dominated the whole gate
+    # step (~100 ms/block at wideband, independent of R).
     F_app = jnp.where(deferred >= 0, deferred, jnp.int32(end_rel))
     app = dec["persist"][:, None] & (col_pos[None, :] >= busy0[:, None]) \
         & (col_pos[None, :] < F_app[:, None])
@@ -293,20 +298,43 @@ def _nf_track(verdicts, sync_idx, bits, mags, col_pos, col_keep,
         app = app & col_keep[None, :]
     base_n = jnp.where(dec["released"], 0, ring_n)
     keep_old = ~dec["released"][:, None] & (slot < ring_n[:, None])
-    rank = jnp.cumsum(app.astype(jnp.int32), axis=1) - 1
-    idx = jnp.where(app, base_n[:, None] + rank, R)
-    idx = jnp.minimum(idx, R)                 # overflow -> dropped
-    pos1 = jnp.where(keep_old, ring_pos, jnp.int32(_FLOOR))
-    val1 = jnp.where(keep_old, ring_val, 0.0)
-    pos1 = jnp.concatenate([pos1, jnp.full((C, 1), _FLOOR, jnp.int32)],
-                           axis=1)
-    val1 = jnp.concatenate([val1, jnp.zeros((C, 1), jnp.float32)],
-                           axis=1)
-    pos1 = pos1.at[rows, idx].set(
-        jnp.where(app, col_pos[None, :], pos1[rows, idx]))[:, :R]
-    val1 = val1.at[rows, idx].set(
-        jnp.where(app, mags_all[:, R:], val1[rows, idx]))[:, :R]
-    ring_n1 = jnp.minimum(base_n + app.sum(axis=1), R).astype(jnp.int32)
+    # ``app`` is an INTERVAL [j_lo, j_hi) of block columns per channel
+    # (every condition above is a bound on the strictly-increasing
+    # col_pos, and col_keep is a prefix drop), so the slot -> column
+    # map is pure arithmetic: slot s holds column j_lo + (s - base_n).
+    n_app = app.sum(axis=1).astype(jnp.int32)
+    pos0 = jnp.where(keep_old, ring_pos, jnp.int32(_FLOOR))
+    val0 = jnp.where(keep_old, ring_val, 0.0)
+    if W > 0:
+        # slot s holds column j_lo + (s - base_n); realized as one
+        # contiguous dynamic slice per channel from a left-padded
+        # block (start R + j_lo - base_n >= 0), which is a plain DMA —
+        # both a scatter and an elementwise gather here measure ~100ms
+        # per wideband block on TPU.
+        j_lo = jnp.argmax(app, axis=1).astype(jnp.int32)       # (C,)
+        is_app = (slot >= base_n[:, None]) \
+            & (slot < (base_n + n_app)[:, None])
+        start = R + j_lo - base_n          # (C,) in [0, R+W-1]
+        # padded on BOTH sides: left so start >= 0, right so
+        # dynamic_slice's start clamp (start <= len - R) never shifts
+        # the window; out-of-range slots are masked by is_app.
+        val_pad = jnp.concatenate(
+            [jnp.zeros((C, R), jnp.float32), mags_all[:, R:],
+             jnp.zeros((C, R), jnp.float32)], axis=1)
+        pos_pad = jnp.concatenate(
+            [jnp.full((R,), _FLOOR, jnp.int32), col_pos,
+             jnp.full((R,), _FLOOR, jnp.int32)])
+        app_val = jax.vmap(
+            lambda v, s: jax.lax.dynamic_slice(v, (s,), (R,)))(
+                val_pad, start)                                # (C, R)
+        app_pos = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pos_pad, (s,), (R,)))(
+                start)                                         # (C, R)
+        pos1 = jnp.where(is_app, app_pos, pos0)
+        val1 = jnp.where(is_app, app_val, val0)
+    else:
+        pos1, val1 = pos0, val0
+    ring_n1 = jnp.minimum(base_n + n_app, R).astype(jnp.int32)
 
     new = {"mag_lp": y[:, -1], "mag_nf": mag_nf1,
            "nfcnt": (nfcnt0 + total_n) % 1000,

@@ -32,7 +32,7 @@ from ..dsp import demod as demod_mod
 from ..dsp.chebyshev import fir_taps
 from ..dsp.frontend import (bandpass_channelize, nco_dphi, prepare_taps,
                             to_planar)
-from .device import process_block
+from .device import process_block, process_block_detect
 from ..fec.scramble import descramble
 from ..utils.bits import symbols_to_bits_msb
 from .metadata import DecodedFrame, MsgMetadata
@@ -116,6 +116,80 @@ def _launch_compacted_l2(symbols, power, count, K: int):
     inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
     l2 = l2_decode_batch(syms[take], MAX_BURST_SYMS, pwr[take])
     return _compact_blocks(l2, cap), inv
+
+
+def _l2_sliced_impl(block, count, sync_idx, dphi, K: int, S: int):
+    """Compact candidate slots, slice their symbol windows from the
+    device-resident decimated block, and run the batched L2 decode —
+    one fused dispatch.
+
+    Same compaction order/cap/inv semantics as _launch_compacted_l2,
+    but the (C, K, S) symbol/power slot arrays are never materialized:
+    windows exist only for the <= cap compacted rows.  The slicing +
+    demodulation math is element-identical to find_and_slice_impl
+    (shared demod_window; same pad/dynamic-slice/stride scheme), so
+    host-gated and device-gated runs stay byte-identical.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..dsp.demod import demod_window
+    from ..fec.l2_tpu import l2_decode_batch
+    C, M = count.shape[0], block.shape[2]
+    total = C * K
+    cap = min(total, max(256, 4 * C))
+    if cap >= total:
+        take = jnp.arange(total, dtype=jnp.int32)
+        inv = None
+    else:
+        k_idx = jnp.arange(K, dtype=jnp.int32)
+        valid = (k_idx < count[:, None]).reshape(total)
+        order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+        take = order[:cap]
+        inv = jnp.full((total,), -1, jnp.int32)
+        inv = inv.at[take].set(jnp.arange(cap, dtype=jnp.int32))
+    c_row = take // K
+    sp_row = jnp.reshape(sync_idx, (total,))[take]
+    dphi_row = jnp.reshape(dphi, (total,))[take]
+
+    phases = jnp.arctan2(block[1], block[0])
+    pwr = block[0] * block[0] + block[1] * block[1]
+    W = S * SPS + 1
+    ph_pad = jnp.pad(phases, ((0, 0), (0, W)))
+    pw_pad = jnp.pad(pwr, ((0, 0), (0, W)))
+
+    def slice_one(c, sp):
+        start = jnp.clip(sp, 0, M)
+        w = jax.lax.dynamic_slice(ph_pad, (c, start), (1, W))[0]
+        p = jax.lax.dynamic_slice(pw_pad, (c, start), (1, W))[0]
+        return w[::SPS], p[::SPS]                            # (S+1,) each
+
+    sym_phase, power_all = jax.vmap(slice_one)(c_row, sp_row)
+    symbols, power = demod_window(sym_phase, power_all, dphi_row)
+    l2 = l2_decode_batch(symbols, S, power)
+    return _compact_blocks(l2, cap), inv
+
+
+_L2_SLICED = None
+
+
+def _launch_sliced_l2(block, dets, K: int):
+    """Jitted wrapper for _l2_sliced_impl (lazy so CPU-only test runs
+    never trace it unless the device-L2 path is active)."""
+    global _L2_SLICED
+    if _L2_SLICED is None:
+        import jax
+        from functools import partial
+
+        # Import the consumed modules OUTSIDE the trace: their
+        # module-level jnp constant tables must not be created while
+        # _l2_sliced_impl is being traced (tracer-leak hazard).
+        from ..dsp import demod as _demod            # noqa: F401
+        from ..fec import l2_tpu as _l2t             # noqa: F401
+        _L2_SLICED = partial(jax.jit, static_argnames=("K", "S"))(
+            _l2_sliced_impl)
+    return _L2_SLICED(block, dets.count, dets.sync_idx, dets.dphi,
+                      K=K, S=MAX_BURST_SYMS)
 
 
 _MAG16 = None
@@ -699,13 +773,29 @@ class VDL2Pipeline:
             return self.finish() if eof else []
 
         H = self.hist.shape[2]
-        cands, new_hist, new_carry, pwr3 = process_block(
-            iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
-            self.carry, self.hist, self.oversample, DEFAULT_HALO,
-            SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
+        if self.use_device_l2:
+            # Detect-only device step + fused compact/slice/L2 decode:
+            # symbol windows are sliced from the device-resident block
+            # for the compacted candidate rows only (never (C, K, S)).
+            cands, block_arr, new_hist, new_carry, pwr3 = \
+                process_block_detect(
+                    iq, self.taps, self.dphi,
+                    np.uint32(self.n0 & 0xFFFFFF), self.carry,
+                    self.hist, self.oversample, DEFAULT_HALO,
+                    SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
+            l2, l2_map = _launch_sliced_l2(block_arr, cands,
+                                           self.max_candidates)
+            if l2_map is not None:
+                l2_map = l2_map.reshape(len(self.channels),
+                                        self.max_candidates)
+        else:
+            cands, new_hist, new_carry, pwr3 = process_block(
+                iq, self.taps, self.dphi, np.uint32(self.n0 & 0xFFFFFF),
+                self.carry, self.hist, self.oversample, DEFAULT_HALO,
+                SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
+            l2, l2_map = self._launch_l2(cands)
         self.carry = new_carry
         self.n0 = (self.n0 + iq.shape[1]) & 0xFFFFFF
-        l2, l2_map = self._launch_l2(cands)
 
         base = self.hist_base
         M_total = H + iq.shape[1] // self.oversample

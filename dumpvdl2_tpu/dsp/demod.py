@@ -40,6 +40,13 @@ _LR_DENOM = float((_LR_X ** 2).sum())
 _LOOKBACK = (PREAMBLE_SYMS - 1) * SPS  # oldest sample the metric reaches back to
 _NMS_WIN = 2 * SPS    # duplicate-crossing suppression window (samples)
 
+# Segmented first-K extraction (see find_candidates_impl): NMS-kept
+# detections are > _NMS_WIN apart, so a _SEG-sample segment holds at
+# most floor((_SEG-1)/(_NMS_WIN+1))+1 = 7 of them; _SEG_P = 8 adds a
+# safety slot.
+_SEG = 128
+_SEG_P = (_SEG - 1) // (_NMS_WIN + 1) + 2
+
 
 class Candidates(NamedTuple):
     """Fixed-size per-block candidate set (per channel)."""
@@ -51,6 +58,23 @@ class Candidates(NamedTuple):
     symbols: jax.Array    # (C, K, S) uint8 gray-decoded 3-bit symbols
     sym_valid: jax.Array  # (C, K) int32 number of demodulable symbols
     power: jax.Array      # (C, K, S) f32 per-symbol power (|iq|^2)
+
+
+class Detections(NamedTuple):
+    """Candidate set WITHOUT the sliced symbol/power windows.
+
+    The device-L2 pipeline slices symbols only for a compacted global
+    candidate set (core/pipeline._launch_l2_sliced): materializing
+    (C, K, S) windows for every slot costs ~GBs of HBM traffic per
+    wideband block when almost all slots are empty, and was the single
+    largest term in the round-4 end-to-end profile.
+    """
+    count: jax.Array      # (C,) int32
+    det_idx: jax.Array    # (C, K) int32
+    sync_idx: jax.Array   # (C, K) int32
+    dphi: jax.Array       # (C, K) f32
+    pherr: jax.Array      # (C, K) f32
+    sym_valid: jax.Array  # (C, K) int32
 
 
 def sync_error_metric(phases: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -132,23 +156,18 @@ def _parabola_vertex(y1: jax.Array, y2: jax.Array, y3: jax.Array) -> jax.Array:
     return jnp.where(safe, -b / (2.0 * jnp.where(safe, a, 1.0)), -1.0)
 
 
-def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
-                        max_candidates: int = 64, max_symbols: int = 5616,
-                        detect_lo: int = 0, detect_hi: int | None = None
-                        ) -> Candidates:
-    """Locate sync points in a block and demodulate candidate bursts.
+def find_candidates_impl(phases: jax.Array,
+                         threshold: float = SYNC_THRESHOLD,
+                         max_candidates: int = 64, max_symbols: int = 5616,
+                         detect_lo: int = 0, detect_hi: int | None = None
+                         ) -> Detections:
+    """Locate sync points in a block (detection only, no slicing).
 
-    ``iq``: (2, C, M) float32 planar decimated channel samples
-    (history/halo already prepended by the caller).
-
-    ``detect_lo``/``detect_hi`` restrict where *detections* may fire
-    (slicing still uses the whole array) — used by the sharded pipeline
-    to prevent duplicate detections in exchanged halo regions.
+    ``phases``: (C, M) f32 sample phases.  Returns per-channel
+    Detections; ``detect_lo``/``detect_hi`` as in find_and_slice_impl.
     """
-    _, C, M = iq.shape
+    C, M = phases.shape
     K, S = max_candidates, max_symbols
-    re, im = iq[0], iq[1]
-    phases = jnp.arctan2(im, re)
     err, freq = _metric(phases)
 
     # Detection: the metric passed a below-threshold local minimum.
@@ -175,13 +194,30 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
     lo = lo.at[:, :_NMS_WIN + 1].set(0)                     # cs[i-W-1]
     mask = mask & ((hi - lo) == 0)
 
-    # First K detections per channel, in time order: top-K of negated
-    # positions (scatter-free; top_k is fast on TPU).  Blocks shorter
-    # than K columns are padded so top_k stays in bounds.
+    # First K detections per channel, in time order.  A direct
+    # lax.top_k over (C, M) sorts the whole row (~50 ms/block at
+    # wideband); instead exploit the NMS guarantee that kept
+    # detections are > _NMS_WIN samples apart: a segment of _SEG
+    # samples holds at most _SEG_P of them, so extract each segment's
+    # detections by within-segment rank (P masked min-reductions, pure
+    # VPU) and run the top-K over the tiny (C, G*P) segment table.
+    # Ordering is preserved: slots ascend within a segment, segments
+    # ascend, and empty slots carry the sentinel M which sorts last —
+    # the result is element-identical to the full top_k.
     pos = jnp.where(mask, jnp.arange(M, dtype=jnp.int32), M)
-    if M < K:
-        pos = jnp.pad(pos, ((0, 0), (0, K - M)), constant_values=M)
-    neg, _ = jax.lax.top_k(-pos, K)                           # (C, K)
+    G = -(-M // _SEG)
+    pad_m = G * _SEG - M
+    m3 = jnp.pad(mask, ((0, 0), (0, pad_m))).reshape(C, G, _SEG)
+    pos3 = jnp.pad(pos, ((0, 0), (0, pad_m)),
+                   constant_values=M).reshape(C, G, _SEG)
+    seg_rank = jnp.cumsum(m3.astype(jnp.int32), axis=2) - 1
+    segpos = [jnp.min(jnp.where(m3 & (seg_rank == p), pos3, M), axis=2)
+              for p in range(_SEG_P)]
+    flat = jnp.stack(segpos, axis=2).reshape(C, G * _SEG_P)
+    if G * _SEG_P < K:
+        flat = jnp.pad(flat, ((0, 0), (0, K - G * _SEG_P)),
+                       constant_values=M)
+    neg, _ = jax.lax.top_k(-flat, K)                          # (C, K)
     det_sorted = -neg                                          # ascending
     valid = det_sorted < M
     det_idx = jnp.where(valid, det_sorted, -1)
@@ -199,6 +235,49 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
     dphi = take(freq, det_idx - 1)
     pherr = y2
 
+    # number of demodulable symbols: sp + SPS*j must stay inside M
+    nvalid = jnp.clip((M - 1 - sync_idx) // SPS, 0, S)
+    sym_valid = jnp.where(valid, nvalid.astype(jnp.int32), 0)
+    return Detections(count=count, det_idx=det_idx, sync_idx=sync_idx,
+                      dphi=dphi, pherr=pherr, sym_valid=sym_valid)
+
+
+def demod_window(sym_phase: jax.Array, power_all: jax.Array,
+                 dphi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """D8PSK-demodulate sliced symbol windows.
+
+    ``sym_phase``/``power_all``: (..., S+1) phase / power at the symbol
+    clock; ``dphi``: (...,) fitted per-symbol frequency offset.
+    Returns (symbols uint8, power f32), each (..., S).
+    """
+    dp = sym_phase[..., 1:] - sym_phase[..., :-1] - dphi[..., None]
+    dp = jnp.where(dp < 0, dp + 2 * jnp.pi, dp)
+    dp = jnp.where(dp > 2 * jnp.pi, dp - 2 * jnp.pi, dp)
+    idx = jnp.round(dp / (jnp.pi / 4)).astype(jnp.int32) % ARITY
+    symbols = jnp.asarray(GRAYCODE, dtype=jnp.uint8)[idx]
+    return symbols, power_all[..., 1:]
+
+
+def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
+                        max_candidates: int = 64, max_symbols: int = 5616,
+                        detect_lo: int = 0, detect_hi: int | None = None
+                        ) -> Candidates:
+    """Locate sync points in a block and demodulate candidate bursts.
+
+    ``iq``: (2, C, M) float32 planar decimated channel samples
+    (history/halo already prepended by the caller).
+
+    ``detect_lo``/``detect_hi`` restrict where *detections* may fire
+    (slicing still uses the whole array) — used by the sharded pipeline
+    to prevent duplicate detections in exchanged halo regions.
+    """
+    _, C, M = iq.shape
+    K, S = max_candidates, max_symbols
+    re, im = iq[0], iq[1]
+    phases = jnp.arctan2(im, re)
+    d = find_candidates_impl(phases, threshold, K, S, detect_lo,
+                             detect_hi)
+
     # Batched symbol slicing: one contiguous dynamic slice per
     # candidate (cheap DMA) then a static stride, instead of a huge
     # elementwise gather.
@@ -215,21 +294,13 @@ def find_and_slice_impl(iq: jax.Array, threshold: float = SYNC_THRESHOLD,
 
     sym_phase, power_all = jax.vmap(
         jax.vmap(slice_one, in_axes=(None, None, 0)),
-        in_axes=(0, 0, 0))(ph_pad, pw_pad, sync_idx)          # (C, K, S+1)
+        in_axes=(0, 0, 0))(ph_pad, pw_pad, d.sync_idx)        # (C, K, S+1)
 
-    dp = sym_phase[..., 1:] - sym_phase[..., :-1] - dphi[..., None]
-    dp = jnp.where(dp < 0, dp + 2 * jnp.pi, dp)
-    dp = jnp.where(dp > 2 * jnp.pi, dp - 2 * jnp.pi, dp)
-    idx = jnp.round(dp / (jnp.pi / 4)).astype(jnp.int32) % ARITY
-    symbols = jnp.asarray(GRAYCODE, dtype=jnp.uint8)[idx]     # (C, K, S)
-
-    power = power_all[..., 1:]
-    # number of demodulable symbols: sp + SPS*j must stay inside M
-    nvalid = jnp.clip((M - 1 - sync_idx) // SPS, 0, S)
-    sym_valid = jnp.where(valid, nvalid.astype(jnp.int32), 0)
-    return Candidates(count=count, det_idx=det_idx, sync_idx=sync_idx,
-                      dphi=dphi, pherr=pherr, symbols=symbols,
-                      sym_valid=sym_valid, power=power)
+    symbols, power = demod_window(sym_phase, power_all, d.dphi)
+    return Candidates(count=d.count, det_idx=d.det_idx,
+                      sync_idx=d.sync_idx, dphi=d.dphi, pherr=d.pherr,
+                      symbols=symbols, sym_valid=d.sym_valid,
+                      power=power)
 
 
 find_and_slice = partial(jax.jit,

@@ -182,11 +182,25 @@ def bandpass_channelize_impl(iq: jax.Array, taps: jax.Array,
     # produces a correct full-width carry.
     new_carry = xe[:, xe.shape[1] - (T - 1):] if T > 1 else iq[:, :0]
     # First output taps window starts at xe index os-1 (the decimation
-    # phase offset used by mix_filter_decimate_impl).
-    w = jax.lax.conv_general_dilated(
-        xe[None, :, os_ - 1:], kernel, window_strides=(os_,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)[0]       # (2C, M)
+    # phase offset used by mix_filter_decimate_impl).  The strided
+    # window contraction is laid out explicitly as ONE (M, 2T) x
+    # (2T, 2C) matmul: XLA's strided conv lowering leaves the MXU ~1%
+    # utilized at wideband (measured 116 ms/block), while the im2col
+    # matmul runs it at speed — frames[j, i, q*os+r] = xe[i, os*(j+q)
+    # + r + os-1], built from Q static slices of the os-folded block.
+    Q = T // os_
+    xr = xe[:, os_ - 1:]
+    need = os_ * (M + Q)
+    pad = need - xr.shape[1]
+    if pad > 0:
+        xr = jnp.pad(xr, ((0, 0), (0, pad)))
+    X = xr[:, :need].reshape(2, M + Q, os_)
+    frames = jnp.concatenate([X[:, q:q + M] for q in range(Q)],
+                             axis=2)                 # (2, M, T)
+    w = jnp.einsum("mk,ok->om",
+                   frames.transpose(1, 0, 2).reshape(M, 2 * T),
+                   kernel.reshape(2 * C, 2 * T),
+                   preferred_element_type=jnp.float32)  # (2C, M)
     wr = w[:C]
     wi = w[C:]
 
