@@ -143,7 +143,7 @@ def main() -> None:
     # stable, so stability alone cannot early-exit: the batch must
     # also be in the expected performance range, and a final value far
     # below it is flagged contended no matter how tight its IQR.
-    EXPECTED_MSPS = 120.0
+    EXPECTED_MSPS = 35.0
     floor_s = INNER * N / (EXPECTED_MSPS / 2 * 1e6)
 
     batches = []

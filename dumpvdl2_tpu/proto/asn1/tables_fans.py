@@ -42,6 +42,10 @@ descriptions from memory of the open-source decoder's ASN.1:
   UPER constraint changes BIT WIDTH, so real off-the-air FANS
   arguments would misdecode if these differ; they remain exactly as
   profiled until a real vector or the module text can settle them.
+  Values decoded through these profiled scales are MARKED in operator
+  output (text: trailing "[profiled scale]"; JSON: "profiled": true —
+  proto/fans.py _PROFILED), so confirmed and profiled decodes are
+  distinguishable downstream.
 """
 from __future__ import annotations
 

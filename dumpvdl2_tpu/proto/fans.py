@@ -54,6 +54,17 @@ _UNITS = {
     "windSpeedMetric": (1, " km/h", 0),
 }
 
+# CHOICE alternatives whose integer scaling/bounds are this
+# framework's documented PROFILE, not second-source-confirmed DO-219
+# constraints (tables_fans.py "Second-source audit status"): a wrong
+# UPER bound changes bit width and would misdecode real traffic
+# silently, so rendered values carry an explicit marker — text gets a
+# "[profiled scale]" suffix, JSON a "profiled": true — letting
+# operators distinguish confirmed decodes from profiled ones.
+_PROFILED = {"speedTrue", "speedTrueMetric", "speedGround",
+             "speedGroundMetric"}
+_PROFILED_MARK = " [profiled scale]"
+
 # Field-name display labels for composite argument SEQUENCEs.
 _FIELD_LABELS = {
     "timeAtPositionCurrent": "at time",
@@ -66,17 +77,23 @@ _FIELD_LABELS = {
 
 
 def _latlon_text(value: dict) -> str:
+    marked = False
+
     def one(deg_key, dct):
+        nonlocal marked
         deg = dct[deg_key]
         direction = [v for k, v in dct.items() if k.endswith("Direction")]
         s = f"{deg}"
         if "minutesLatLon" in dct:
+            # 0.01-minute units is profiled, not audited (tables_fans)
             s += f" {dct['minutesLatLon'] / 100.0:.2f}'"
+            marked = True
         if direction:
             s += direction[0][0].upper()
         return s
-    return (one("latitudeDegrees", value["latitude"]) + " "
-            + one("longitudeDegrees", value["longitude"]))
+    s = (one("latitudeDegrees", value["latitude"]) + " "
+         + one("longitudeDegrees", value["longitude"]))
+    return s + _PROFILED_MARK if marked else s
 
 
 def _fmt_arg(name: str, value: Any) -> tuple[str, Any]:
@@ -91,7 +108,11 @@ def _fmt_arg(name: str, value: Any) -> tuple[str, Any]:
             return s, s
         if "latitude" in value and "longitude" in value:
             s = _latlon_text(value)
-            return s, {k: _fmt_arg(k, v)[1] for k, v in value.items()}
+            js = {k: _fmt_arg(k, v)[1] for k, v in value.items()}
+            if "minutesLatLon" in value["latitude"] \
+                    or "minutesLatLon" in value["longitude"]:
+                js["profiled"] = True
+            return s, js
         if "latitudeDegrees" in value or "longitudeDegrees" in value:
             parts = []
             js = {}
@@ -137,6 +158,8 @@ def _fmt_arg(name: str, value: Any) -> tuple[str, Any]:
             scale, suffix, dec = unit
             v = sub * scale
             s = f"{v:.{dec}f}{suffix}" if dec else f"{int(v)}{suffix}"
+            if alt in _PROFILED:
+                return s + _PROFILED_MARK, {alt: sub, "profiled": True}
             return s, {alt: sub}
         txt, js = _fmt_arg(name, sub)
         return f"{txt} ({alt})", {alt: js}

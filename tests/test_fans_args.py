@@ -74,6 +74,30 @@ def test_position_fix_and_latlon():
     assert "49 30.50'N 122 15.00'W" in txt
 
 
+def test_profiled_scale_markers():
+    """Fields whose UPER scaling is profiled (not second-source
+    audited, tables_fans.py) carry an explicit marker in text and a
+    "profiled" flag in JSON; audited fields don't (VERDICT r4 #9)."""
+    node = _roundtrip(False, [("dM34", ("speedGround", 82))])
+    txt = _text(node)
+    assert "820 kts GS [profiled scale]" in txt
+    obj = JsonObj()
+    node.format_json(obj)
+    import json
+    assert "profiled" in json.dumps(obj, default=str)
+
+    latlon = {"latitude": {"latitudeDegrees": 10, "minutesLatLon": 100,
+                           "latitudeDirection": "north"},
+              "longitude": {"longitudeDegrees": 20, "minutesLatLon": 200,
+                            "longitudeDirection": "east"}}
+    node = _roundtrip(False, [("dM33", ("latitudeLongitude", latlon))])
+    assert "[profiled scale]" in _text(node)
+
+    # audited families stay unmarked
+    node = _roundtrip(True, [("uM19", ("altitudeQNH", 500))])
+    assert "[profiled scale]" not in _text(node)
+
+
 def test_position_altitude_composite():
     node = _roundtrip(True, [
         ("uM46", {"position": ("navaid", "YVR"),
