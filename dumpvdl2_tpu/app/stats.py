@@ -16,6 +16,9 @@ class StatsSink:
         self.gauges: dict[str, float] = {}
         self.timings: dict[str, list[float]] = defaultdict(list)
         self._client = None   # optional statsd pusher
+        # (freq, counter) -> prebuilt key: the f-string build was
+        # measurable in bulk replay (a few per frame)
+        self._chan_keys: dict[tuple, str] = {}
 
     def attach_client(self, client) -> None:
         self._client = client
@@ -26,7 +29,11 @@ class StatsSink:
             self._client.increment(counter, n)
 
     def increment_per_channel(self, freq: int, counter: str, n: int = 1) -> None:
-        self.increment(f"channels.{freq}.{counter}", n)
+        key = self._chan_keys.get((freq, counter))
+        if key is None:
+            key = f"channels.{freq}.{counter}"
+            self._chan_keys[(freq, counter)] = key
+        self.increment(key, n)
 
     def increment_per_msgdir(self, msg_dir: str, counter: str) -> None:
         self.increment(f"msg_dir.{msg_dir}.{counter}")

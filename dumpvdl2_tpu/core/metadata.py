@@ -11,7 +11,7 @@ from typing import Optional
 import numpy as np
 
 
-@dataclass
+@dataclass(slots=True)
 class MsgMetadata:
     version: int = 1
     station_id: Optional[str] = None
@@ -26,8 +26,9 @@ class MsgMetadata:
     idx: int = 0                       # frame index within the burst
 
 
-@dataclass
+@dataclass(slots=True)
 class DecodedFrame:
     """One AVLC frame (FCS still attached) plus its burst metadata."""
     metadata: MsgMetadata
-    frame: np.ndarray                  # uint8 octets including FCS
+    frame: "np.ndarray | bytes"        # uint8 octets including FCS;
+                                       # consumers use bytes(frame)

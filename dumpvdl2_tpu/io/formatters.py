@@ -19,12 +19,26 @@ from ..proto.base import (JsonObj, ProtoNode, TextOut, json_dumps,
 from . import rawframes
 
 
+# One-entry timestamp cache: bulk replay emits thousands of frames per
+# wall-clock second, and the two strftime calls were ~6% of formatting
+# time.  Keyed on (integer second, utc flag); the milliseconds part is
+# inserted per call.
+_TS_CACHE: tuple = (None, None, "", "")
+
+
 def format_timestamp(ts: float) -> str:
-    tm = time.gmtime(ts) if Config.utc else time.localtime(ts)
-    base = time.strftime("%Y-%m-%d %H:%M:%S", tm)
+    global _TS_CACHE
+    sec = int(ts)
+    utc = Config.utc
+    csec, cutc, base, tz = _TS_CACHE
+    if sec != csec or utc != cutc:
+        tm = time.gmtime(sec) if utc else time.localtime(sec)
+        base = time.strftime("%Y-%m-%d %H:%M:%S", tm)
+        tz = time.strftime("%Z", tm)
+        _TS_CACHE = (sec, utc, base, tz)
     if Config.milliseconds:
-        base += ".%03d" % (int(ts * 1000) % 1000)
-    return base + " " + time.strftime("%Z", tm)
+        return base + ".%03d %s" % (int(ts * 1000) % 1000, tz)
+    return base + " " + tz
 
 
 def format_text(metadata: MsgMetadata, root: ProtoNode) -> Optional[bytes]:

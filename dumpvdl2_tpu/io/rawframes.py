@@ -15,8 +15,6 @@ import ctypes
 import struct
 from typing import BinaryIO, Iterator, Optional
 
-import numpy as np
-
 from ..core.metadata import DecodedFrame, MsgMetadata
 
 # field numbers from the published schema
@@ -177,6 +175,13 @@ class _RawMeta(ctypes.Structure):
 
 _NATIVE_LIB = False                   # False = not resolved yet
 
+# One struct.unpack of the returned l2h_raw_meta replaces 14 ctypes
+# attribute reads (each ~0.5 us); the format is validated against the
+# ctypes layout at import so an ABI change cannot silently skew it.
+_RAWMETA_FMT = struct.Struct("=d3f4x6Q4i")
+assert _RAWMETA_FMT.size == ctypes.sizeof(_RawMeta), \
+    (_RAWMETA_FMT.size, ctypes.sizeof(_RawMeta))
+
 
 def _native():
     global _NATIVE_LIB
@@ -195,24 +200,30 @@ def decode_raw_frame(body: bytes) -> DecodedFrame:
         m = _RawMeta()
         if lib.l2h_parse_raw_frame(body, len(body),
                                    ctypes.byref(m)) == 0:
+            (ts, frame_pwr, nf_pwr, ppm, freq, synd_weight,
+             datalen_octets, version, num_fec, idx,
+             station_off, station_len, frame_off, frame_len) = \
+                _RAWMETA_FMT.unpack(bytes(m))
             md = MsgMetadata(
-                version=int(m.version),
-                freq=int(m.freq),
-                frame_pwr_dbfs=float(m.frame_pwr),
-                nf_pwr_dbfs=float(m.nf_pwr),
-                ppm_error=float(m.ppm),
-                burst_timestamp=float(m.ts),
-                datalen_octets=int(m.datalen_octets),
-                synd_weight=int(m.synd_weight),
-                num_fec_corrections=int(m.num_fec),
-                idx=int(m.idx))
-            if m.station_len:
-                md.station_id = body[m.station_off:
-                                     m.station_off + m.station_len] \
+                version=version,
+                freq=freq,
+                frame_pwr_dbfs=frame_pwr,
+                nf_pwr_dbfs=nf_pwr,
+                ppm_error=ppm,
+                burst_timestamp=ts,
+                datalen_octets=datalen_octets,
+                synd_weight=synd_weight,
+                num_fec_corrections=num_fec,
+                idx=idx)
+            if station_len:
+                md.station_id = body[station_off:
+                                     station_off + station_len] \
                     .decode(errors="replace")
-            frame = body[m.frame_off:m.frame_off + m.frame_len]
-            return DecodedFrame(metadata=md,
-                                frame=np.frombuffer(frame, np.uint8))
+            # plain bytes: every consumer does bytes(d.frame), which is
+            # a no-op here but a copy for an ndarray
+            return DecodedFrame(
+                metadata=md,
+                frame=body[frame_off:frame_off + frame_len])
         # malformed for the strict native parser: the Python decoder
         # below is the executable spec (and raises informatively)
     md = MsgMetadata()
@@ -250,8 +261,7 @@ def decode_raw_frame(body: bytes) -> DecodedFrame:
             md.burst_timestamp = sec + usec / 1e6
         elif field == _RAW_DATA and wire == 2:
             frame = bytes(value)
-    return DecodedFrame(metadata=md,
-                        frame=np.frombuffer(frame, dtype=np.uint8))
+    return DecodedFrame(metadata=md, frame=frame)
 
 
 def read_raw_bodies(fh: BinaryIO) -> Iterator[bytes]:

@@ -27,34 +27,39 @@ CRC_TABLE = _build_table()
 
 _LIB = None
 _LIB_TRIED = False
+_CRC_FN = None                # bound native function, resolved once
 
 
 def _lib():
-    global _LIB, _LIB_TRIED
+    global _LIB, _LIB_TRIED, _CRC_FN
     if not _LIB_TRIED:
         _LIB_TRIED = True
         from ..native import load_l2host
         _LIB = load_l2host()
+        if _LIB is not None:
+            _CRC_FN = _LIB.l2h_crc16_ccitt
     return _LIB
 
 
 def crc16_ccitt(data: bytes | bytearray | np.ndarray,
                 crc_init: int = 0xFFFF) -> int:
-    lib = _lib()
-    if lib is not None and len(data):
+    fn = _CRC_FN
+    if fn is None and not _LIB_TRIED:
+        _lib()
+        fn = _CRC_FN
+    if fn is not None and len(data):
         if isinstance(data, bytes):
             # argtypes=c_char_p: ctypes passes the bytes pointer
             # straight through, no per-call cast or copy
-            return int(lib.l2h_crc16_ccitt(data, len(data), crc_init))
+            return fn(data, len(data), crc_init)
         if isinstance(data, bytearray):
-            return int(lib.l2h_crc16_ccitt(bytes(data), len(data),
-                                           crc_init))
+            return fn(bytes(data), len(data), crc_init)
         import ctypes
         buf = np.ascontiguousarray(data, dtype=np.uint8)
         # zero-copy: reinterpret the array's data pointer as char*
         ptr = ctypes.cast(ctypes.c_void_p(buf.ctypes.data),
                           ctypes.c_char_p)
-        return int(lib.l2h_crc16_ccitt(ptr, buf.size, crc_init))
+        return fn(ptr, buf.size, crc_init)
     if isinstance(data, np.ndarray):
         data = data.astype(np.uint8).tobytes()
     crc = crc_init

@@ -30,12 +30,16 @@ MSG_DIR_UNKNOWN = "unknown"
 MSG_DIR_AIR2GND = "air2gnd"
 MSG_DIR_GND2AIR = "gnd2air"
 
+from ..link.crc import crc16_ccitt  # noqa: E402
+
+# lazily-bound ACARS application parsers (cycle-safe)
+_arinc622 = _apps = None
+
 
 def _crc16_arinc(data: bytes) -> int:
     """ARINC 618 block check sequence: CRC-16/CCITT (reflected), init 0
     — the same polynomial as the AVLC FCS, so it shares the native CRC
     (link/crc.py) with a zero initial value."""
-    from ..link.crc import crc16_ccitt
     return crc16_ccitt(data, 0)
 
 
@@ -281,13 +285,16 @@ def parse_acars(buf: bytes, msg_type: int, reasm_ctx=None,
             node.msg_dir, "acars.reasm." + node.reasm_status.name.lower())
         # ARINC 622 ATS applications (CPDLC / ADS-C) ride on specific
         # labels; parsed by proto/arinc622.py when present.
-        from .arinc622 import maybe_parse_arinc622
-        child, msg_type = maybe_parse_arinc622(node, msg_type)
+        global _arinc622, _apps
+        if _arinc622 is None:
+            from .acars_apps import decode_acars_apps
+            from .arinc622 import maybe_parse_arinc622
+            _arinc622, _apps = maybe_parse_arinc622, decode_acars_apps
+        child, msg_type = _arinc622(node, msg_type)
         if child is None and node.txt:
             # other ACARS applications: media advisory / OHMA / MIAM
-            from .acars_apps import decode_acars_apps
-            child = decode_acars_apps(node.label, node.txt, reg=node.reg,
-                                      reasm_ctx=reasm_ctx,
-                                      rx_time=rx_time)
+            child = _apps(node.label, node.txt, reg=node.reg,
+                          reasm_ctx=reasm_ctx,
+                          rx_time=rx_time)
         node.next = child
     return node, msg_type

@@ -40,24 +40,40 @@ def _range_bits(lb: int, ub: int) -> int:
 
 
 class BitReader:
+    # PDUs decoded here are small (ICAO APDUs are at most a few
+    # hundred octets), so the whole buffer is folded into ONE Python
+    # int at construction and every bits() is a single shift+mask —
+    # profiled ~2x over the per-call slice + from_bytes approach.
+    # Buffers above the threshold (pathological inputs) keep the
+    # slice path so per-read cost never scales with buffer size.
+    _INT_CACHE_MAX = 4096             # octets
+
     def __init__(self, buf: bytes, nbits: Optional[int] = None):
         self.buf = buf
         self.pos = 0
         self.nbits = len(buf) * 8 if nbits is None else nbits
+        if len(buf) <= self._INT_CACHE_MAX:
+            self._val = int.from_bytes(buf, "big")
+            self._endbits = len(buf) * 8
+        else:
+            self._val = None
+            self._endbits = 0
 
     def remaining(self) -> int:
         return self.nbits - self.pos
 
     def bits(self, n: int) -> int:
-        if n < 0 or self.pos + n > self.nbits:
-            raise UperDecodeError(
-                f"starved: want {n} bits at {self.pos}/{self.nbits}")
         pos = self.pos
         end = pos + n
+        if n < 0 or end > self.nbits:
+            raise UperDecodeError(
+                f"starved: want {n} bits at {self.pos}/{self.nbits}")
+        self.pos = end
+        if self._val is not None:
+            return (self._val >> (self._endbits - end)) & ((1 << n) - 1)
         first = pos >> 3
         chunk = int.from_bytes(self.buf[first:(end + 7) >> 3], "big")
         # bits [pos-8*first, ...+n) of the chunk, MSB first
-        self.pos = end
         total = (((end + 7) >> 3) - first) * 8
         return (chunk >> (total - (end - 8 * first))) & ((1 << n) - 1)
 
@@ -69,6 +85,8 @@ class BitReader:
             out = self.buf[start:start + n]
             self.pos += 8 * n
             return bytes(out)
+        if n <= 512:
+            return self.bits(8 * n).to_bytes(n, "big")
         return bytes(self.bits(8) for _ in range(n))
 
 
@@ -367,11 +385,12 @@ def _decode_node(schema: Schema, node: Node, rd: BitReader,
         return _decode_node(schema, basenode, rd)
     if kind == "seqof":
         _, elem, size = node
+        elemnode = schema.resolve(elem)
         out = []
         while True:
             n, frag = _decode_size(rd, sc or size)
             for _ in range(n):
-                out.append(decode(schema, elem, rd))
+                out.append(_decode_node(schema, elemnode, rd))
             if not frag:
                 return out
     if kind == "seq":
@@ -381,25 +400,46 @@ def _decode_node(schema: Schema, node: Node, rd: BitReader,
     raise UperDecodeError(f"unhandled IR kind {kind}")
 
 
+def _seq_split(schema: Schema, node: Node):
+    """Per-schema memo of a seq node's root/extension split with the
+    root members' type references pre-resolved.  Keyed by id(node);
+    the entry keeps a strong reference to the node, so the id can
+    never be recycled while the cache lives (and the cache lives
+    exactly as long as its schema)."""
+    try:
+        cache = schema._seq_cache
+    except AttributeError:
+        cache = schema._seq_cache = {}
+    ent = cache.get(id(node))
+    if ent is None or ent[0] is not node:
+        _, members, ext_after = node
+        extensible = ext_after >= 0
+        root = [m for i, m in enumerate(members)
+                if not (extensible and i > ext_after)]
+        exts = [m for i, m in enumerate(members)
+                if extensible and i > ext_after]
+        rootres = tuple(
+            (name, schema.resolve(tref), optional, mc, dfl)
+            for name, tref, optional, mc, dfl in root)
+        ent = (node, extensible, rootres, tuple(exts))
+        cache[id(node)] = ent
+    return ent
+
+
 def _decode_seq(schema: Schema, node: Node, rd: BitReader) -> dict:
-    _, members, ext_after = node
-    extensible = ext_after >= 0
+    _node, extensible, root, exts = _seq_split(schema, node)
     ext_present = bool(rd.bits(1)) if extensible else False
-    root = [m for i, m in enumerate(members)
-            if not (extensible and i > ext_after)]
-    exts = [m for i, m in enumerate(members)
-            if extensible and i > ext_after]
     presence = {}
-    for name, _tref, optional, _mc, _dfl in root:
+    for name, _tnode, optional, _mc, _dfl in root:
         if optional:
             presence[name] = bool(rd.bits(1))
     out: dict = {}
-    for name, tref, optional, mc, dfl in root:
+    for name, tnode, optional, mc, dfl in root:
         if optional and not presence[name]:
             if dfl is not None:
                 out[name] = dfl
             continue
-        out[name] = decode(schema, tref, rd, mc)
+        out[name] = _decode_node(schema, tnode, rd, mc)
     if ext_present:
         bmlen = _get_nslength(rd)
         bitmap = [rd.bits(1) for _ in range(bmlen)]
@@ -441,7 +481,7 @@ def _decode_choice(schema: Schema, node: Node, rd: BitReader
     if idx >= root_count:
         raise UperDecodeError("choice index out of range")
     name, tref, mc = _alt(alts, idx)
-    return name, decode(schema, tref, rd, mc)
+    return name, _decode_node(schema, schema.resolve(tref), rd, mc)
 
 
 # -------------------------------------------------------------- encode

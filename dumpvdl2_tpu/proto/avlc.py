@@ -8,15 +8,29 @@ the address type (avlc.c:159-162, avlc.h bitfields).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 from ..app.stats import stats
 from ..config import Config, MsgFilter
 from ..core.metadata import MsgMetadata
 from ..link.crc import GOOD_FCS, crc16_ccitt
-from ..utils.bits import reverse_bits
+from . import enrich
 from .base import JsonObj, ProtoNode, TextOut, UnknownProtoNode, hexdump
+
+# L3 payload parsers, bound lazily ONCE (they import avlc helpers
+# inside their own functions, so importing them at first use avoids
+# the cycle while keeping the per-frame dispatch import-free — the
+# repeated in-function imports were a few percent of bulk replay).
+_xid_parse = _parse_acars = _x25_parse = None
+
+
+def _bind_l3():
+    global _xid_parse, _parse_acars, _x25_parse
+    from .acars import parse_acars
+    from .x25 import x25_parse
+    from .xid import xid_parse
+    _xid_parse, _parse_acars, _x25_parse = (xid_parse, parse_acars,
+                                            x25_parse)
 
 MIN_AVLC_LEN = 11
 
@@ -42,21 +56,18 @@ def u_cmd_name(mfunc: int) -> str:
     return _U_NAMES.get(mfunc, f"(0x{mfunc:02x})")
 
 
-@dataclass
 class AvlcAddr:
-    val: int
+    """Parsed 28-bit DLC address.  addr/type/status are precomputed:
+    they are read several times per frame (format + JSON + enrichment)
+    and this is one of the hottest objects in bulk replay."""
 
-    @property
-    def addr(self) -> int:
-        return self.val & 0xFFFFFF
+    __slots__ = ("val", "addr", "type", "status")
 
-    @property
-    def type(self) -> int:
-        return (self.val >> 24) & 0x7
-
-    @property
-    def status(self) -> int:
-        return (self.val >> 27) & 0x1
+    def __init__(self, val: int) -> None:
+        self.val = val
+        self.addr = val & 0xFFFFFF
+        self.type = (val >> 24) & 0x7
+        self.status = (val >> 27) & 0x1
 
     @property
     def is_aircraft(self) -> bool:
@@ -67,10 +78,18 @@ class AvlcAddr:
         return self.type in (ADDRTYPE_GS_ADM, ADDRTYPE_GS_DEL)
 
 
+# byte bit-reversal table; rev28(x) == rev32(x) >> 4 for x < 2**28
+_REV8 = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+
 def parse_dlc_addr(buf: bytes) -> AvlcAddr:
     packed = (buf[0] >> 1) | (buf[1] << 6) | (buf[2] << 13) | \
         ((buf[3] & 0xFE) << 20)
-    return AvlcAddr(reverse_bits(packed, 28) & ((1 << 28) - 1))
+    rev32 = ((_REV8[packed & 0xFF] << 24)
+             | (_REV8[(packed >> 8) & 0xFF] << 16)
+             | (_REV8[(packed >> 16) & 0xFF] << 8)
+             | _REV8[(packed >> 24) & 0xFF])
+    return AvlcAddr(rev32 >> 4)
 
 
 class AvlcFrameNode(ProtoNode):
@@ -107,7 +126,6 @@ class AvlcFrameNode(ProtoNode):
 
     def _addrinfo_text(self, out: TextOut, indent: int, addr: AvlcAddr,
                        inline: bool) -> None:
-        from . import enrich
         enrich.addrinfo_format_text(out, indent, addr, inline)
 
     def format_text(self, out: TextOut, indent: int) -> None:
@@ -140,7 +158,6 @@ class AvlcFrameNode(ProtoNode):
                 (self.lcf >> 4) & 1))
 
     def _addr_json(self, addr: AvlcAddr, ag_status: int) -> JsonObj:
-        from . import enrich
         obj = JsonObj()
         obj["addr"] = "%06X" % addr.addr
         obj["type"] = ADDRTYPE_DESCR[addr.type]
@@ -170,6 +187,16 @@ class AvlcFrameNode(ProtoNode):
             obj["poll"] = bool((self.lcf >> 4) & 1)
 
 
+_DST_CLASS_FROM_AIR = {ADDRTYPE_GS_ADM: "air2gnd",
+                       ADDRTYPE_GS_DEL: "air2gnd",
+                       ADDRTYPE_AIRCRAFT: "air2air",
+                       ADDRTYPE_ALL: "air2all"}
+_DST_CLASS_FROM_GND = {ADDRTYPE_AIRCRAFT: "gnd2air",
+                       ADDRTYPE_GS_ADM: "gnd2gnd",
+                       ADDRTYPE_GS_DEL: "gnd2gnd",
+                       ADDRTYPE_ALL: "gnd2all"}
+
+
 def avlc_parse(frame: bytes, metadata: MsgMetadata, reasm_ctx=None
                ) -> tuple[Optional[ProtoNode], int]:
     """Parse one AVLC frame; returns (proto tree root, msg_type bits)."""
@@ -188,16 +215,12 @@ def avlc_parse(frame: bytes, metadata: MsgMetadata, reasm_ctx=None
     src = parse_dlc_addr(buf[4:8])
     if src.type == ADDRTYPE_AIRCRAFT:
         msg_type |= MsgFilter.SRC_AIR
-        dst_class = {ADDRTYPE_GS_ADM: "air2gnd", ADDRTYPE_GS_DEL: "air2gnd",
-                     ADDRTYPE_AIRCRAFT: "air2air",
-                     ADDRTYPE_ALL: "air2all"}.get(dst.type)
+        dst_class = _DST_CLASS_FROM_AIR.get(dst.type)
         if dst_class:
             stats.increment_per_channel(freq, "avlc.msg." + dst_class)
     elif src.type in (ADDRTYPE_GS_ADM, ADDRTYPE_GS_DEL):
         msg_type |= MsgFilter.SRC_GND
-        dst_class = {ADDRTYPE_AIRCRAFT: "gnd2air", ADDRTYPE_GS_ADM: "gnd2gnd",
-                     ADDRTYPE_GS_DEL: "gnd2gnd",
-                     ADDRTYPE_ALL: "gnd2all"}.get(dst.type)
+        dst_class = _DST_CLASS_FROM_GND.get(dst.type)
         if dst_class:
             stats.increment_per_channel(freq, "avlc.msg." + dst_class)
 
@@ -205,6 +228,8 @@ def avlc_parse(frame: bytes, metadata: MsgMetadata, reasm_ctx=None
     info = buf[9:]
     node = AvlcFrameNode(src, dst, lcf, bytes(frame))
 
+    if _x25_parse is None:
+        _bind_l3()
     if node.is_s:
         msg_type |= MsgFilter.AVLC_S
         if info:
@@ -212,8 +237,8 @@ def avlc_parse(frame: bytes, metadata: MsgMetadata, reasm_ctx=None
     elif node.is_u:
         msg_type |= MsgFilter.AVLC_U
         if node.u_mfunc == XID:
-            from .xid import xid_parse
-            child, msg_type = xid_parse(src.status, node.u_pf, info, msg_type)
+            child, msg_type = _xid_parse(src.status, node.u_pf, info,
+                                         msg_type)
             node.next = child
         else:
             node.next = UnknownProtoNode(info) if info else None
@@ -221,14 +246,12 @@ def avlc_parse(frame: bytes, metadata: MsgMetadata, reasm_ctx=None
         msg_type |= MsgFilter.AVLC_I
         if len(info) > 3 and info[0] == 0xFF and info[1] == 0xFF \
                 and info[2] == 0x01:
-            from .acars import parse_acars
-            child, msg_type = parse_acars(
+            child, msg_type = _parse_acars(
                 info[3:], msg_type, reasm_ctx,
                 metadata.burst_timestamp)
             node.next = child
         else:
-            from .x25 import x25_parse
-            child, msg_type = x25_parse(
+            child, msg_type = _x25_parse(
                 info, msg_type, reasm_ctx, metadata.burst_timestamp,
                 src.addr, dst.addr)
             node.next = child

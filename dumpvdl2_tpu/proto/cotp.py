@@ -33,6 +33,9 @@ COTP_TPDU_ER = 0x70
 
 COTP_REASM_TIMEOUT = 30.0
 
+# lazily-bound ICAO APDU parser (cycle-safe, no per-PDU import)
+_icao_parse = None
+
 TPDU_NAMES = {
     COTP_TPDU_CR: "Connect Request",
     COTP_TPDU_CC: "Connect Confirm",
@@ -399,8 +402,11 @@ def _cotp_pdu_parse(buf: bytes, msg_type: int, reasm_ctx, rx_time,
                             and not Config.decode_fragments:
                         decode_payload = False
                 if decode_payload:
-                    from .icao import icao_apdu_parse
-                    next_node, msg_type = icao_apdu_parse(payload, msg_type)
+                    global _icao_parse
+                    if _icao_parse is None:
+                        from .icao import icao_apdu_parse
+                        _icao_parse = icao_apdu_parse
+                    next_node, msg_type = _icao_parse(payload, msg_type)
                 else:
                     next_node = UnknownProtoNode(payload)
     pdu.err = False

@@ -13,7 +13,7 @@ from typing import Any, Optional, Tuple
 
 from ..config import MsgFilter
 from .asn1.format import IcaoFormatter
-from .asn1.runtime import UperDecodeError, decode
+from .asn1.runtime import BitReader, UperDecodeError, decode
 from .asn1.tables_icao import SCHEMA
 from .base import JsonObj, ProtoNode, TextOut, UnknownProtoNode
 
@@ -41,7 +41,6 @@ PCI_USER_ASE_APDU = 3
 def _uper(typename: str, buf: bytes) -> Any:
     """uper_decode_complete equivalent: all input bytes must be
     consumed (bar padding bits)."""
-    from .asn1.runtime import BitReader
     rd = BitReader(bytes(buf))
     value = decode(SCHEMA, typename, rd)
     # asn1c's uper_decode_complete tolerates trailing padding within

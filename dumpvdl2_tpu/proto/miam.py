@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import zlib
 from dataclasses import dataclass
+
+import numpy as np
 from typing import Optional
 
 from .base import JsonObj, ProtoNode, TextOut, hex_str
@@ -83,19 +85,29 @@ def dearmor(text: str) -> Optional[bytes]:
         return None                   # non-latin char: not armored
     if 0xFF in vals:
         return None                   # char outside the alphabet
-    out = bytearray()
-    for i in range(0, len(vals), 5):
-        group = vals[i:i + 5]
-        n = len(group) - 1
-        if n < 1:
-            return None
-        val = 0
-        for v in group:
-            val = val * 85 + v
-        if val >> (8 * n):
+    nfull, tail_n = divmod(len(vals), 5)
+    if tail_n == 1:
+        return None                   # 1-char tail group can't encode
+    # full 5-char -> 4-byte groups, vectorized (u64: 85**5 > 2**32)
+    if nfull:
+        g = np.frombuffer(vals, np.uint8,
+                          count=5 * nfull).reshape(-1, 5).astype(np.uint64)
+        acc = ((((g[:, 0] * 85 + g[:, 1]) * 85 + g[:, 2]) * 85
+                + g[:, 3]) * 85 + g[:, 4])
+        if (acc >> np.uint64(32)).any():
             return None               # overlong group
-        out += val.to_bytes(n, "big")
-    return bytes(out)
+        body = acc.astype(">u4").tobytes()
+    else:
+        body = b""
+    if not tail_n:
+        return body
+    val = 0
+    for v in vals[5 * nfull:]:
+        val = val * 85 + v
+    n = tail_n - 1
+    if val >> (8 * n):
+        return None                   # overlong group
+    return body + val.to_bytes(n, "big")
 
 
 # ------------------------------------------------------------- CORE PDUs

@@ -506,24 +506,32 @@ def _parse_callreq_sndcf(pkt: X25PacketNode, buf: bytes) -> int:
     return 2 + sndcf_len
 
 
+# lazily-bound L4 parsers (cycle-safe; avoids per-packet imports)
+_clnp_parse = _clnp_compressed = _esis_parse = None
+
+
 def parse_x25_user_data(buf: bytes, msg_type: int, reasm_ctx, rx_time,
                         src_addr: int, dst_addr: int
                         ) -> tuple[Optional[ProtoNode], int]:
     if not buf:
         return None, msg_type
+    global _clnp_parse, _clnp_compressed, _esis_parse
+    if _clnp_parse is None:
+        from .clnp import clnp_compressed_data_pdu_parse, clnp_pdu_parse
+        from .esis import esis_pdu_parse
+        _clnp_parse = clnp_pdu_parse
+        _clnp_compressed = clnp_compressed_data_pdu_parse
+        _esis_parse = esis_pdu_parse
     proto = buf[0]
     if proto == SN_PROTO_CLNP:
-        from .clnp import clnp_pdu_parse
-        return clnp_pdu_parse(buf, msg_type, reasm_ctx, rx_time,
-                              src_addr, dst_addr)
+        return _clnp_parse(buf, msg_type, reasm_ctx, rx_time,
+                           src_addr, dst_addr)
     if proto == SN_PROTO_ESIS:
-        from .esis import esis_pdu_parse
-        return esis_pdu_parse(buf, msg_type)
+        return _esis_parse(buf, msg_type)
     pdu_type = proto >> 4
     if pdu_type < 0x4 or pdu_type in (0x6, 0x7, 0x9, 0xA):
-        from .clnp import clnp_compressed_data_pdu_parse
-        return clnp_compressed_data_pdu_parse(buf, msg_type, reasm_ctx,
-                                              rx_time, src_addr, dst_addr)
+        return _clnp_compressed(buf, msg_type, reasm_ctx,
+                                rx_time, src_addr, dst_addr)
     if proto == 0xE0:
         return sndcf_error_report_parse(buf, msg_type, reasm_ctx, rx_time,
                                         src_addr, dst_addr)
