@@ -195,7 +195,7 @@ class ClnpPduNode(ProtoNode):
             return
         name = PDU_TYPE_NAMES.get(self.type)
         if name is not None:
-            out.iline(indent, f"X.233 CLNP {name}:")
+            out.iline(indent, "X.233 CLNP %s:" % name)
         else:
             out.iline(indent, "X.233 CLNP unknown PDU (code=0x%02x):"
                       % self.type)

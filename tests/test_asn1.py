@@ -26,6 +26,38 @@ def test_bitreader_writer_roundtrip():
     assert rd.bytes_(1) == b"\x42"
 
 
+def test_bitreader_large_buffer_fallback():
+    """Buffers above _INT_CACHE_MAX use the per-read slice path; both
+    paths must produce identical reads (incl. unaligned bytes_)."""
+    rng = random.Random(99)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    assert len(data) > rt.BitReader._INT_CACHE_MAX
+    big = rt.BitReader(data)
+    reads = []
+    pos = 0
+    while pos + 64 < len(data) * 8:
+        n = rng.choice([1, 3, 7, 8, 13, 33])
+        reads.append(("bits", n))
+        pos += n
+        if rng.random() < 0.1 and pos % 8 != 0:
+            reads.append(("bytes", 3))
+            pos += 24
+    # exact oracle: bit-string extraction
+    bitstr = "".join(f"{b:08b}" for b in data)
+    pos = 0
+    for kind, n in reads:
+        if kind == "bits":
+            want = int(bitstr[pos:pos + n], 2) if n else 0
+            assert big.bits(n) == want
+            pos += n
+        else:
+            want = bytes(int(bitstr[pos + 8 * i:pos + 8 * i + 8], 2)
+                         for i in range(n))
+            assert big.bytes_(n) == want
+            pos += 8 * n
+    assert big.remaining() == len(data) * 8 - pos
+
+
 def test_constrained_int_widths():
     s = make_schema({"T": ("int", (False, 0, 237))})
     assert rt.encode(s, "T", 0) == b"\x00"

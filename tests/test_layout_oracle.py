@@ -169,6 +169,57 @@ def test_xid_tlv_templates_match_reference():
     assert '%.3f MHz (' in _src("xid.c") and '%.3f MHz (' in ours
 
 
+# ------------------------------------- X.25 / CLNP / COTP / ES-IS / IDRP
+
+# C length modifiers (h/hh/l/ll/z/j) have no Python %-format analog and
+# do not change the rendered text for in-range values; strip them
+# before comparing templates.
+_LEN_MOD = re.compile(r"%([-#+ 0-9.]*)(?:hh|h|ll|l|z|j)([diouxXeEfFgGsc])")
+
+
+def _normalize_template(t: str) -> str:
+    return _LEN_MOD.sub(r"%\1\2", t)
+
+
+_TRIVIAL = {"%s", "%s: ", "%s:", "%s:\n", "%s\n", "%s :\n"}
+
+
+def _strip_c_comments(src: str) -> str:
+    src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+    return re.sub(r"//[^\n]*", "", src)
+
+
+@pytest.mark.parametrize("cfile,modules,min_tmpls", [
+    ("x25.c", ["proto/x25.py", "proto/tlv.py"], 5),
+    ("clnp.c", ["proto/clnp.py", "proto/tlv.py"], 5),
+    ("cotp.c", ["proto/cotp.py"], 5),
+    ("esis.c", ["proto/esis.py", "proto/tlv.py"], 1),
+    ("idrp.c", ["proto/idrp.py", "proto/tlv.py"], 5),
+])
+def test_network_layer_templates_match_reference(cfile, modules,
+                                                 min_tmpls):
+    """Every substantive LA_ISPRINTF line template in the reference's
+    network-layer formatters must appear (length-modifier-normalized)
+    in the corresponding module — pinning label wording and line shape
+    for X.25, CLNP, COTP, ES-IS and IDRP to the C sources."""
+    src = _strip_c_comments(_src(cfile))
+    pkg = pathlib.Path(__file__).parent.parent / "dumpvdl2_tpu"
+    ours = "".join((pkg / m).read_text() for m in modules)
+    # join adjacent Python string literals split across lines, so a
+    # wrapped template still matches the one-line C original
+    ours = re.sub(r'"\s*\n\s*"', "", ours)
+    tmpls = set()
+    for m in re.findall(r'LA_ISPRINTF\([^,]*,[^,]*,\s*"([^"]+)"', src):
+        t = _normalize_template(_c_unescape(m)).rstrip("\n")
+        if "%" in t and t not in _TRIVIAL:
+            tmpls.add(t)
+    assert len(tmpls) >= min_tmpls, \
+        f"extraction too thin for {cfile}: {tmpls}"
+    missing = [t for t in sorted(tmpls) if t not in ours]
+    assert not missing, \
+        f"{cfile} line templates missing from {modules}: {missing}"
+
+
 # ------------------------------------------------- CPDLC value layer
 
 def test_icao_unit_formatters_match_reference():
