@@ -60,19 +60,26 @@ def process_block_detect(iq: jax.Array, taps: jax.Array, dphi: jax.Array,
                          max_symbols: int = 5616):
     """process_block without the symbol slicing (device-L2 fast path).
 
-    Returns ``(dets, block, new_hist, new_carry, pwr3)``: the decimated
-    ``block`` (halo + fresh) stays device-resident so the compacted L2
-    launch (core/pipeline._launch_l2_sliced) can slice windows for the
-    few real candidates only, instead of materializing every (C, K, S)
+    Returns ``(dets, phases, pwr, new_hist, new_carry, pwr3)``: the
+    decimated block's phase and power planes (halo + fresh) stay
+    device-resident so the compacted L2 launch
+    (core/pipeline._launch_sliced_l2) can slice windows for the few
+    real candidates only, instead of materializing every (C, K, S)
     slot — at wideband, ~GBs of HBM traffic per block for empty slots.
+    phases/pwr are returned (same bytes as the raw planar block) so
+    the L2 step never recomputes the full-block arctan2/square that
+    detection already paid for.
     """
     dec, new_carry = bandpass_channelize_impl(
         iq, taps, dphi, n0, carry, oversample)
     block = jnp.concatenate([hist, dec], axis=2)
     phases = jnp.arctan2(block[1], block[0])
+    pwr = block[0] * block[0] + block[1] * block[1]
     dets = find_candidates_impl(phases, threshold, max_candidates,
                                 max_symbols)
     keep = min(halo, block.shape[2])
     new_hist = block[:, :, block.shape[2] - keep:]
-    pwr3 = dec[0, :, ::3] ** 2 + dec[1, :, ::3] ** 2
-    return dets, block, new_hist, new_carry, pwr3
+    # noise-tracker stream: every 3rd decimated power of the FRESH
+    # part; block == [hist | dec], so dec starts at column H
+    pwr3 = pwr[:, hist.shape[2]::3]
+    return dets, phases, pwr, new_hist, new_carry, pwr3

@@ -76,8 +76,11 @@ DECIDED_VERDICTS = (V_L2_OVERFLOW, V_EOF_SHORT, V_HDR_REJECT,
 # claimed a busy window (hold drop-interval / replay-filter cases).
 ADVANCE_VERDICTS = (V_HDR_REJECT, V_ACCEPT)
 # Verdicts that bump demod.sync.good (header fitted the block).
-SYNC_GOOD_VERDICTS = (V_DEFER_DATA, V_HDR_REJECT, V_EOF_TRUNC,
-                      V_PPM_REJECT, V_ACCEPT)
+# pipeline._process_verdicts consults this set, so adding or
+# reclassifying a verdict in gate_scan updates the host counter
+# mapping in one place.
+SYNC_GOOD_VERDICTS = frozenset((V_DEFER_DATA, V_HDR_REJECT, V_EOF_TRUNC,
+                                V_PPM_REJECT, V_ACCEPT))
 
 _FLOOR = -(1 << 30)        # "long in the past" clamp for rebased indices
 MAX_DELTA = 1 << 29        # caller clamps base deltas here (semantically

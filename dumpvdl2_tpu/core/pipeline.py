@@ -118,24 +118,26 @@ def _launch_compacted_l2(symbols, power, count, K: int):
     return _compact_blocks(l2, cap), inv
 
 
-def _l2_sliced_impl(block, count, sync_idx, dphi, K: int, S: int):
+def _l2_sliced_impl(phases, pwr, count, sync_idx, dphi, K: int, S: int):
     """Compact candidate slots, slice their symbol windows from the
-    device-resident decimated block, and run the batched L2 decode —
-    one fused dispatch.
+    device-resident decimated block's phase/power planes, and run the
+    batched L2 decode — one fused dispatch.
 
     Same compaction order/cap/inv semantics as _launch_compacted_l2,
     but the (C, K, S) symbol/power slot arrays are never materialized:
     windows exist only for the <= cap compacted rows.  The slicing +
     demodulation math is element-identical to find_and_slice_impl
     (shared demod_window; same pad/dynamic-slice/stride scheme), so
-    host-gated and device-gated runs stay byte-identical.
+    host-gated and device-gated runs stay byte-identical.  phases/pwr
+    arrive precomputed from process_block_detect (the detection pass
+    already needed them), so no full-block transcendental runs here.
     """
     import jax
     import jax.numpy as jnp
 
     from ..dsp.demod import demod_window
     from ..fec.l2_tpu import l2_decode_batch
-    C, M = count.shape[0], block.shape[2]
+    C, M = count.shape[0], phases.shape[1]
     total = C * K
     cap = min(total, max(256, 4 * C))
     if cap >= total:
@@ -152,8 +154,6 @@ def _l2_sliced_impl(block, count, sync_idx, dphi, K: int, S: int):
     sp_row = jnp.reshape(sync_idx, (total,))[take]
     dphi_row = jnp.reshape(dphi, (total,))[take]
 
-    phases = jnp.arctan2(block[1], block[0])
-    pwr = block[0] * block[0] + block[1] * block[1]
     W = S * SPS + 1
     ph_pad = jnp.pad(phases, ((0, 0), (0, W)))
     pw_pad = jnp.pad(pwr, ((0, 0), (0, W)))
@@ -173,7 +173,7 @@ def _l2_sliced_impl(block, count, sync_idx, dphi, K: int, S: int):
 _L2_SLICED = None
 
 
-def _launch_sliced_l2(block, dets, K: int):
+def _launch_sliced_l2(phases, pwr, dets, K: int):
     """Jitted wrapper for _l2_sliced_impl (lazy so CPU-only test runs
     never trace it unless the device-L2 path is active)."""
     global _L2_SLICED
@@ -188,7 +188,7 @@ def _launch_sliced_l2(block, dets, K: int):
         from ..fec import l2_tpu as _l2t             # noqa: F401
         _L2_SLICED = partial(jax.jit, static_argnames=("K", "S"))(
             _l2_sliced_impl)
-    return _L2_SLICED(block, dets.count, dets.sync_idx, dets.dphi,
+    return _L2_SLICED(phases, pwr, dets.count, dets.sync_idx, dets.dphi,
                       K=K, S=MAX_BURST_SYMS)
 
 
@@ -460,8 +460,14 @@ class VDL2Pipeline:
         """Slot -> L2 batch row map as a (C, K) device/host array."""
         if l2_map is not None:
             return l2_map
-        C, K = len(self.channels), self.max_candidates
-        return np.arange(C * K, dtype=np.int32).reshape(C, K)
+        # identity map for the uncompacted case: constant per (C, K),
+        # cached so each block doesn't re-upload the same table
+        rows = getattr(self, "_gate_rows_cache", None)
+        if rows is None:
+            C, K = len(self.channels), self.max_candidates
+            rows = np.arange(C * K, dtype=np.int32).reshape(C, K)
+            self._gate_rows_cache = rows
+        return rows
 
     def _gate_delta(self, base: int) -> np.int32:
         from . import nf_gate
@@ -527,8 +533,8 @@ class VDL2Pipeline:
                 if verdict == ng.V_L2_OVERFLOW:
                     ch.bump("demod.sync.overflow")
                     continue
-                if verdict in (ng.V_DEFER, ng.V_EOF_SHORT):
-                    continue
+                if verdict not in ng.SYNC_GOOD_VERDICTS:
+                    continue          # V_DEFER / V_EOF_SHORT: pending
                 ch.bump("demod.sync.good")
                 debug_print(D_DEMOD,
                             "ch %d (%d Hz): sync at %d err=%.3f dphi=%.5f",
@@ -777,13 +783,13 @@ class VDL2Pipeline:
             # Detect-only device step + fused compact/slice/L2 decode:
             # symbol windows are sliced from the device-resident block
             # for the compacted candidate rows only (never (C, K, S)).
-            cands, block_arr, new_hist, new_carry, pwr3 = \
+            cands, phases_arr, pwr_arr, new_hist, new_carry, pwr3 = \
                 process_block_detect(
                     iq, self.taps, self.dphi,
                     np.uint32(self.n0 & 0xFFFFFF), self.carry,
                     self.hist, self.oversample, DEFAULT_HALO,
                     SYNC_THRESHOLD, self.max_candidates, MAX_BURST_SYMS)
-            l2, l2_map = _launch_sliced_l2(block_arr, cands,
+            l2, l2_map = _launch_sliced_l2(phases_arr, pwr_arr, cands,
                                            self.max_candidates)
             if l2_map is not None:
                 l2_map = l2_map.reshape(len(self.channels),

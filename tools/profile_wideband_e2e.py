@@ -54,17 +54,31 @@ def main():
     pipe.feed_planar(planar)
     pipe.feed_planar(planar)
 
-    from dumpvdl2_tpu.core.device import process_block
+    from dumpvdl2_tpu.core.device import process_block_detect
     from dumpvdl2_tpu.core.pipeline import (DEFAULT_HALO, MAX_BURST_SYMS,
-                                            SYNC_THRESHOLD)
+                                            SYNC_THRESHOLD,
+                                            _launch_sliced_l2)
+
+    if not (pipe.use_device_l2 and pipe.use_device_gate):
+        print("device L2 + gating are off on this backend; the staged "
+              "breakdown below only exists for that path — aborting",
+              file=sys.stderr)
+        return
 
     for it in range(3):
         t0 = time.perf_counter()
-        cands, new_hist, new_carry, pwr3 = process_block(
-            planar, pipe.taps, pipe.dphi, np.uint32(pipe.n0 & 0xFFFFFF),
-            pipe.carry, pipe.hist, pipe.oversample, DEFAULT_HALO,
-            SYNC_THRESHOLD, pipe.max_candidates, MAX_BURST_SYMS)
-        l2, l2_map = pipe._launch_l2(cands)
+        # same stages feed_planar runs: detect-only step + fused
+        # compact/slice/L2 (keep in sync with pipeline.feed_planar)
+        cands, phases_arr, pwr_arr, new_hist, new_carry, pwr3 = \
+            process_block_detect(
+                planar, pipe.taps, pipe.dphi,
+                np.uint32(pipe.n0 & 0xFFFFFF),
+                pipe.carry, pipe.hist, pipe.oversample, DEFAULT_HALO,
+                SYNC_THRESHOLD, pipe.max_candidates, MAX_BURST_SYMS)
+        l2, l2_map = _launch_sliced_l2(phases_arr, pwr_arr, cands,
+                                       pipe.max_candidates)
+        if l2_map is not None:
+            l2_map = l2_map.reshape(C, pipe.max_candidates)
         base = pipe.hist_base
         H = pipe.hist.shape[2]
         gout = pipe._dispatch_gate(cands, l2, l2_map, pwr3, base, H)
