@@ -166,8 +166,13 @@ def _l2_sliced_impl(phases, pwr, count, sync_idx, dphi, K: int, S: int):
 
     sym_phase, power_all = jax.vmap(slice_one)(c_row, sp_row)
     symbols, power = demod_window(sym_phase, power_all, dphi_row)
-    l2 = l2_decode_batch(symbols, S, power)
-    return _compact_blocks(l2, cap), inv
+    # hdr-ok burst compaction happens INSIDE the decode (rs_burst_cap):
+    # same cap and overflow semantics as _compact_blocks, but the
+    # octet-pack/deinterleave/RS stages never run for the compacted-out
+    # rows (~4x less device work than post-hoc result compaction)
+    l2 = l2_decode_batch(symbols, S, power,
+                         rs_burst_cap=min(cap, max(128, cap // 4)))
+    return l2, inv
 
 
 _L2_SLICED = None

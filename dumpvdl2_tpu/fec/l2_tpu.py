@@ -59,9 +59,10 @@ def _fec_octetcount(last_len: jax.Array) -> jax.Array:
                                jnp.where(last_len < 68, 4, 6)))
 
 
-@partial(jax.jit, static_argnames=("max_symbols",))
+@partial(jax.jit, static_argnames=("max_symbols", "rs_burst_cap"))
 def l2_decode_batch(symbols: jax.Array, max_symbols: int,
-                    power: jax.Array | None = None):
+                    power: jax.Array | None = None,
+                    rs_burst_cap: int | None = None):
     """Decode a batch of candidate bursts from their raw D8PSK symbols.
 
     Args:
@@ -79,6 +80,16 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int,
       blocks (B, MAX_BLOCKS, 255) uint8 RS-corrected codeword rows,
       counts (B, MAX_BLOCKS) int32 per-row RS outcome (-1 failure),
       fec_row (B, MAX_BLOCKS) int32 parity octets carried per row.
+
+    ``rs_burst_cap``: when set (< B), the heavy payload stages (octet
+    packing, deinterleave gather, RS) run only for the first
+    ``rs_burst_cap`` hdr-ok bursts — the same second-stage compaction
+    ``core/pipeline._compact_blocks`` applies to the TRANSFER, moved
+    before the COMPUTE.  blocks/counts/fec_row then have rs_burst_cap
+    rows and ``blocks_row`` maps burst index -> compacted row (-1 =
+    overflow, reported by the host as decoder.errors.l2_overflow —
+    identical degradation semantics, ~4x less device work at wideband
+    where the candidate cap far exceeds live traffic).
     """
     B, S = symbols.shape
     assert S == max_symbols
@@ -126,11 +137,27 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int,
     # stays in range and RS rows skip (fec_row == 0).
     nb = jnp.where(hdr_ok, num_blocks, 0)
 
+    # ---- optional burst compaction before the payload stages ---------
+    blocks_row = None
+    if rs_burst_cap is not None and rs_burst_cap < B:
+        order = jnp.argsort(~hdr_ok, stable=True).astype(jnp.int32)
+        sel = order[:rs_burst_cap]
+        blocks_row = jnp.full((B,), -1, jnp.int32)
+        blocks_row = blocks_row.at[sel].set(
+            jnp.arange(rs_burst_cap, dtype=jnp.int32))
+        clear_p, nb_p = clear[sel], nb[sel]
+        hdr_p, ll_p = hdr_ok[sel], last_len[sel]
+        lf_p, doct_p = lf[sel], doct[sel]
+    else:
+        clear_p, nb_p, hdr_p = clear, nb, hdr_ok
+        ll_p, lf_p, doct_p = last_len, lf, doct
+    Bp = clear_p.shape[0]
+
     # ---- octet packing (LSB-first, bitstream_read_lsbfirst order) ----
     w_oct = (1 << jnp.arange(8, dtype=jnp.int32))
-    po = clear[:, HEADER_LEN:HEADER_LEN + 8 * MAX_TOTAL_OCT]
-    octets = (po.reshape(B, MAX_TOTAL_OCT, 8) * w_oct[None, None, :]) \
-        .sum(axis=2)                                    # (B, 2100) int32
+    po = clear_p[:, HEADER_LEN:HEADER_LEN + 8 * MAX_TOTAL_OCT]
+    octets = (po.reshape(Bp, MAX_TOTAL_OCT, 8) * w_oct[None, None, :]) \
+        .sum(axis=2)                                    # (Bp, 2100) int32
 
     # ---- deinterleave as a gather (fec/interleave.py mapping) --------
     # Destination cell (row, col) of the (nb, 255) table takes
@@ -138,10 +165,10 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int,
     # the shortened final row's column count for that region.
     rows = jnp.arange(MAX_BLOCKS, dtype=jnp.int32)[None, :, None]
     cols = jnp.arange(RS_N, dtype=jnp.int32)[None, None, :]
-    nb_ = nb[:, None, None]
-    ll_ = jnp.where(hdr_ok, last_len, 0)[:, None, None]
-    lf_ = jnp.where(hdr_ok, lf, 0)[:, None, None]
-    doct_ = jnp.where(hdr_ok, doct, 0)[:, None, None]
+    nb_ = nb_p[:, None, None]
+    ll_ = jnp.where(hdr_p, ll_p, 0)[:, None, None]
+    lf_ = jnp.where(hdr_p, lf_p, 0)[:, None, None]
+    doct_ = jnp.where(hdr_p, doct_p, 0)[:, None, None]
 
     is_data = cols < RS_K
     cf = cols - RS_K                                    # FEC-region column
@@ -153,19 +180,21 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int,
                     jnp.where(rows < nb_ - 1, RS_N - RS_K, lf_))
     valid = (rows < nb_) & (jnp.where(is_data, cols, cf) < cpr)
     src = jnp.clip(jnp.where(valid, src, 0), 0, MAX_TOTAL_OCT - 1)
-    tab = jnp.take_along_axis(octets, src.reshape(B, -1), axis=1)
-    tab = tab.reshape(B, MAX_BLOCKS, RS_N) * valid      # pad cells zero
+    tab = jnp.take_along_axis(octets, src.reshape(Bp, -1), axis=1)
+    tab = tab.reshape(Bp, MAX_BLOCKS, RS_N) * valid     # pad cells zero
 
     # ---- batched RS(255,249) -----------------------------------------
-    row_is_last = rows[0, :, 0] == (nb[:, None] - 1)    # (B, MAX_BLOCKS)
-    fec_row = jnp.where(rows[0, :, 0] < nb[:, None] - 1,
+    row_is_last = rows[0, :, 0] == (nb_p[:, None] - 1)  # (Bp, MAX_BLOCKS)
+    fec_row = jnp.where(rows[0, :, 0] < nb_p[:, None] - 1,
                         RS_N - RS_K,
-                        jnp.where(row_is_last, lf[:, None], 0))
-    fec_row = jnp.where(hdr_ok[:, None], fec_row, 0).astype(jnp.int32)
+                        jnp.where(row_is_last, lf_p[:, None], 0))
+    fec_row = jnp.where(hdr_p[:, None], fec_row, 0).astype(jnp.int32)
     corr, counts = rs_verify_batch(
-        tab.reshape(B * MAX_BLOCKS, RS_N).astype(jnp.uint8),
-        fec_row.reshape(B * MAX_BLOCKS))
+        tab.reshape(Bp * MAX_BLOCKS, RS_N).astype(jnp.uint8),
+        fec_row.reshape(Bp * MAX_BLOCKS))
     extra = {}
+    if blocks_row is not None:
+        extra["blocks_row"] = blocks_row
     if power is not None:
         total_syms = jnp.maximum(-(-bits_consumed // 3), 1)
         sidx = jnp.arange(S, dtype=jnp.int32)
@@ -182,7 +211,7 @@ def l2_decode_batch(symbols: jax.Array, max_symbols: int,
         "datalen": datalen, "datalen_octets": doct,
         "num_blocks": num_blocks, "last_len": last_len,
         "bits_consumed": bits_consumed,
-        "blocks": corr.reshape(B, MAX_BLOCKS, RS_N),
-        "counts": counts.reshape(B, MAX_BLOCKS),
+        "blocks": corr.reshape(Bp, MAX_BLOCKS, RS_N),
+        "counts": counts.reshape(Bp, MAX_BLOCKS),
         "fec_row": fec_row,
     }
