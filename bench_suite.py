@@ -256,7 +256,8 @@ def bench_wideband_256ch():
     import jax
     import jax.numpy as jnp
     from dumpvdl2_tpu.constants import SPS, SYMBOL_RATE, SYNC_THRESHOLD
-    from dumpvdl2_tpu.core.device import process_block
+    from dumpvdl2_tpu.core.device import process_block_detect
+    from dumpvdl2_tpu.core.pipeline import _launch_sliced_l2
     from dumpvdl2_tpu.dsp.chebyshev import fir_taps
     from dumpvdl2_tpu.dsp.frontend import nco_dphi, prepare_taps
 
@@ -274,10 +275,14 @@ def bench_wideband_256ch():
     hist = jnp.zeros((2, C, halo), jnp.float32)
 
     def run():
+        # the production device-L2 kernel chain: detect-only step +
+        # fused compact/slice/L2 (what pipeline.feed_planar dispatches)
         for _ in range(KERNEL_INNER):
-            out = process_block(iq, taps, dphi, jnp.uint32(0), carry,
-                                hist, os_, halo, SYNC_THRESHOLD, K, S)
-        _probe(out[0].count)
+            dets, ph, pw, _nh, _nc, _p3 = process_block_detect(
+                iq, taps, dphi, jnp.uint32(0), carry,
+                hist, os_, halo, SYNC_THRESHOLD, K, S)
+            l2, _m = _launch_sliced_l2(ph, pw, dets, K)
+        _probe(l2["hdr_ok"])
 
     total = KERNEL_INNER * N
     dt = _median_time(run, repeats=10)

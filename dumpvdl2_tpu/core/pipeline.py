@@ -154,15 +154,25 @@ def _l2_sliced_impl(phases, pwr, count, sync_idx, dphi, K: int, S: int):
     sp_row = jnp.reshape(sync_idx, (total,))[take]
     dphi_row = jnp.reshape(dphi, (total,))[take]
 
-    W = S * SPS + 1
-    ph_pad = jnp.pad(phases, ((0, 0), (0, W)))
-    pw_pad = jnp.pad(pwr, ((0, 0), (0, W)))
+    # Window slicing at the SYMBOL rate: a raw-rate window is W =
+    # S*SPS+1 samples of which only every SPS-th is kept, so fold the
+    # planes by decimation phase — fold[c, q, r] == plane[c, q*SPS+r]
+    # — and slice (S+1) contiguous axis-1 elements at (sp//SPS,
+    # sp%SPS).  Element-identical to slicing W then striding ::SPS
+    # (indices sp + SPS*s either way), with SPS-fold less gather
+    # traffic for the (cap, W) windows.
+    Wd = S + 1
+    pad = SPS * (M // SPS + Wd + 1) - M
+    Mf = (M + pad) // SPS
+    ph_fold = jnp.pad(phases, ((0, 0), (0, pad))).reshape(C, Mf, SPS)
+    pw_fold = jnp.pad(pwr, ((0, 0), (0, pad))).reshape(C, Mf, SPS)
 
     def slice_one(c, sp):
         start = jnp.clip(sp, 0, M)
-        w = jax.lax.dynamic_slice(ph_pad, (c, start), (1, W))[0]
-        p = jax.lax.dynamic_slice(pw_pad, (c, start), (1, W))[0]
-        return w[::SPS], p[::SPS]                            # (S+1,) each
+        q, r = start // SPS, start % SPS
+        w = jax.lax.dynamic_slice(ph_fold, (c, q, r), (1, Wd, 1))
+        p = jax.lax.dynamic_slice(pw_fold, (c, q, r), (1, Wd, 1))
+        return w[0, :, 0], p[0, :, 0]                        # (S+1,) each
 
     sym_phase, power_all = jax.vmap(slice_one)(c_row, sp_row)
     symbols, power = demod_window(sym_phase, power_all, dphi_row)
