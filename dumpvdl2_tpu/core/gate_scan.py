@@ -1,17 +1,20 @@
 """Device-side candidate gating: the host decision loop as a lax.scan.
 
-GROUNDWORK (round 4) for moving the per-channel burst state machine
-onto the device.  The wideband end-to-end path is bound by the
-noise-tracker magnitude stream it must ship to the host (~75% of the
-per-block drain, BASELINE.md round-4 notes); eliminating it requires
-the device to know each block's busy windows — i.e. to run the
-candidate gating decisions of ``VDL2Pipeline._process_candidates``
-(core/pipeline.py) itself.  This module implements those decisions as
-a vmapped ``lax.scan`` over candidate slots and is pinned against the
-REAL host loop by tests/test_gate_scan.py over randomized scenarios.
-It is NOT yet wired into the pipeline: the NF tracker consuming these
-windows (hold/replay, EOF flush, mesh paths) is the remaining round-5
-work.
+This moves the per-channel burst state machine onto the device.  The
+wideband end-to-end path used to be bound by the noise-tracker
+magnitude stream it had to ship to the host (~75% of the per-block
+drain, BASELINE.md round-4 notes); eliminating it requires the device
+to know each block's busy windows — i.e. to run the candidate gating
+decisions of ``VDL2Pipeline._process_candidates`` (core/pipeline.py)
+itself.  This module implements those decisions as a vmapped
+``lax.scan`` over candidate slots and is pinned against the REAL host
+loop by tests/test_gate_scan.py over randomized scenarios.  It IS
+wired into the pipeline (default ON): ``core/nf_gate.py`` holds the
+device NF tracker consuming these busy windows (hold/replay, EOF
+flush), ``core/pipeline.py`` and the mesh path consume its verdicts,
+and ``DUMPVDL2_TPU_GATE=0`` falls back to the host loop (both modes
+are held to set-identical accepts by tests/test_nf_gate.py and the
+margin sweep in tests/test_sync_margin_sweep.py).
 
 Decision semantics replicated 1:1 from the host loop
 (reference analog: the DM_* / DEC_* state machine, demod.c:229-285 +
@@ -28,12 +31,13 @@ decode.c:198-258, re-expressed block-wise):
 * |ppm| beyond --max-ppm => rejected;
 * acceptance claims the full burst length as the busy window.
 
-Caveats for production wiring: the host computes ppm in float64 (this
-scan receives precomputed per-slot ppm values, so the caller decides
-where that rounding happens), and global indices are carried as int32
-here — a multi-hour stream overflows 2^31 decimated samples, so the
-wired version must rebase per block (as the raw-tail logic already
-does) or enable x64.
+Production-wiring notes: the host computes ppm in float64 (this scan
+receives precomputed per-slot ppm values, so the caller decides where
+that rounding happens), and global indices are carried as int32 here —
+the wired caller therefore feeds BLOCK-RELATIVE indices with a clamped
+rebase each block, so multi-hour streams never wrap 2^31 decimated
+samples (soak-tested past a 2^31 global index by
+tests/test_soak_longstream.py).
 """
 from __future__ import annotations
 

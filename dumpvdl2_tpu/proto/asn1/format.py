@@ -90,6 +90,66 @@ ENUM_DICT_FN = {
     "asn1_format_ABRT_source_as_text": "ABRT_source_labels",
 }
 
+# JSON rendering as a dict (serialized by io/formatters.py)
+JsonObj = dict
+
+# fn-name -> (unit string, multiplier); mechanical extraction of the
+# la_format_INTEGER_with_unit_as_json call sites in
+# asn1-format-icao-json.c (pinned 1:1 by tests/test_layout_oracle.py)
+UNIT_FMT_JSON = {
+    "asn1_format_AltimeterEnglish_as_json": ("inHg", 0.01),
+    "asn1_format_AltimeterMetric_as_json": ("hPa", 0.1),
+    "asn1_format_Deg_as_json": ("deg", 1),
+    "asn1_format_DepartureMinimumInterval_as_json": ("min", 0.1),
+    "asn1_format_DistanceKm_as_json": ("km", 0.25),
+    "asn1_format_DistanceNm_as_json": ("nm", 0.1),
+    "asn1_format_Humidity_as_json": ("%", 1),
+    "asn1_format_DistanceEnglish_as_json": ("nm", 1),
+    "asn1_format_DistanceMetric_as_json": ("km", 1),
+    "asn1_format_Frequencyvhf_as_json": ("MHz", 0.005),
+    "asn1_format_Frequencyuhf_as_json": ("MHz", 0.025),
+    "asn1_format_Frequencyhf_as_json": ("kHz", 1),
+    "asn1_format_LegTime_as_json": ("min", 1),
+    "asn1_format_LevelFeet_as_json": ("ft", 10),
+    "asn1_format_LevelFlightLevelMetric_as_json": ("m", 10),
+    "asn1_format_Meters_as_json": ("m", 1),
+    "asn1_format_RTASecTolerance_as_json": ("sec", 1),
+    "asn1_format_RTATolerance_as_json": ("min", 0.1),
+    "asn1_format_Feet_as_json": ("ft", 1),
+    "asn1_format_SpeedMetric_as_json": ("km/h", 1),
+    "asn1_format_SpeedEnglish_as_json": ("kts", 1),
+    "asn1_format_SpeedIndicated_as_json": ("kts", 1),
+    "asn1_format_SpeedMach_as_json": ("", 0.001),
+    "asn1_format_Temperature_as_json": ("C", 1),
+    "asn1_format_VerticalRateEnglish_as_json": ("ft/min", 10),
+    "asn1_format_VerticalRateMetric_as_json": ("m/min", 10),
+    "asn1_format_EstimatedPositionUncertainty_as_json": ("nm", 0.01),
+    "asn1_format_ADSv2Temperature_as_json": ("C", 0.25),
+    "asn1_format_ADSv2WindSpeedKts_as_json": ("kts", 1),
+    "asn1_format_ADSv2WindSpeedKmh_as_json": ("km/h", 2),
+    "asn1_format_EPPTimeInterval_as_json": ("minutes", 1),
+    "asn1_format_GrossMass_as_json": ("kg", 10),
+    "asn1_format_EPPTolETA_as_json": ("min", 0.1),
+    "asn1_format_EPPTolGCDistance_as_json": ("nm", 0.01),
+    "asn1_format_EPUChangeTolerance_as_json": ("nm", 0.01),
+    "asn1_format_GroundSpeed_as_json": ("kts", 0.5),
+    "asn1_format_GroundTrack_as_json": ("deg", 0.05),
+    "asn1_format_LateralDeviationThreshold_as_json": ("nm", 0.1),
+    "asn1_format_MachNumberTolerance_as_json": ("", 0.01),
+    "asn1_format_RNPValue_as_json": ("nm", 0.1),
+    "asn1_format_TurbulenceEDRValue_as_json": ("m^2/s^3", 0.01),
+    "asn1_format_TurbulenceMinutesInThePast_as_json": ("min", 0.5),
+    "asn1_format_TurbulenceObservationWindow_as_json": ("min", 1),
+    "asn1_format_TurnRadius_as_json": ("nm", 0.1),
+}
+
+# the JSON C file uses the same *_bit_labels / *_labels dicts as the
+# text file; map the _as_json fn names onto the shared dicts
+_JSON_BIT_LABEL_FN = {fn[:-8] + "_as_json": d
+                      for fn, d in BIT_LABEL_FN.items()}
+_JSON_ENUM_DICT_FN = {fn[:-8] + "_as_json": d
+                      for fn, d in ENUM_DICT_FN.items()}
+
 
 def _fmt_unit(value: int, unit: str, mult: float, dec: int) -> str:
     if dec == 0:
@@ -389,38 +449,219 @@ class IcaoFormatter:
             out.iline(indent, f"{label}: none")
 
     # ------------------------------------------------------------- json
-    def json(self, tname: str, value: Any) -> Any:
-        """Structured JSON-ready rendering (dicts/lists/scalars)."""
-        node = _terminal(self.schema, tname)
-        kind = node[0]
-        if kind == "seq":
-            obj = {}
+    #
+    # Table-driven, mirroring the reference's JSON output driver:
+    # la_asn1_output walks the decoded value and renders ONLY types
+    # present in asn1_icao_formatter_table_json /
+    # asn1_acse_formatter_table_json (dump_unknown=false,
+    # asn1-format-icao-json.c:62-67); each table entry supplies the
+    # snake_case key and the formatter (JSON_FMT/ACSE_JSON_FMT are
+    # machine-extracted from those tables by tools/gen_icao_labels.py).
+    # Member keys therefore come from the member TYPE's table label,
+    # not the schema member name.  Hand-written compound formatters
+    # (Code, DateTime, Time*, Latitude/Longitude, RejectDetails,
+    # ReportingRate, OBJECT IDENTIFIER — asn1-format-icao-json.c:
+    # 112-360) are replicated 1:1.  The generic SEQUENCE/CHOICE/
+    # SEQUENCE-OF/unit wrappers live in libacars (asn1-format-common,
+    # not present in this environment); their key conventions here
+    # ("choice"/"choice_label" members, {"val","unit"} objects,
+    # one-key objects per SEQUENCE-OF element) follow libacars's
+    # public driver and are documented as such in
+    # tests/fixtures/PROVENANCE.md.
+    def json(self, tname: str, value: Any) -> JsonObj:
+        """Render ``value`` of type ``tname``; returns a dict with the
+        type's table label as key (merged by the caller)."""
+        obj: JsonObj = {}
+        self._j(obj, tname, value)
+        return obj
+
+    def _jlookup(self, short: str):
+        ent = self.json_tab.get(short)
+        if ent is None and self.json_tab is not JSON_FMT:
+            ent = JSON_FMT.get(short)
+        if ent is None and self.json_tab is not ACSE_JSON_FMT:
+            ent = ACSE_JSON_FMT.get(short)
+        return ent
+
+    def _j(self, obj: JsonObj, tname: str, value: Any,
+           override_label: Optional[str] = None) -> None:
+        short = tname.split(".")[-1]
+        ent = self._jlookup(short)
+        if ent is None:
+            return              # not in the formatter table: no output
+        fn, label = ent
+        if fn is None:
+            return
+        self._dispatch_json(fn, obj, tname, value,
+                            override_label or label)
+
+    def _dispatch_json(self, fn, obj, tname, value, label):
+        s = self.schema
+        if fn in ("asn1_format_SEQUENCE_icao_as_json",
+                  "asn1_format_SEQUENCE_acse_as_json"):
+            sub: JsonObj = {}
+            node = _terminal(s, tname)
             for memb in node[1]:
                 name, tref = memb[0], memb[1]
                 if name in value:
-                    obj[name] = self.json(tref, value[name])
-            return obj
+                    self._j(sub, tref, value[name])
+            obj[label] = sub
+        elif fn in ("asn1_format_CHOICE_icao_as_json",
+                    "asn1_format_CHOICE_acse_as_json",
+                    "asn1_format_ATCUplinkMsgElementId_as_json",
+                    "asn1_format_ATCDownlinkMsgElementId_as_json"):
+            if _terminal(s, tname)[0] != "choice":
+                # non-CHOICE types registered with the CHOICE formatter
+                # (e.g. CancelContract, an extensible ENUM) — same
+                # fallback as the text path (_choice_text)
+                obj[label] = self._generic_json(tname, value)
+                return
+            altname, inner = value
+            sub = {}
+            if fn == "asn1_format_ATCUplinkMsgElementId_as_json":
+                sub["choice_label"] = UPLINK_LABELS.get(altname, "")
+            elif fn == "asn1_format_ATCDownlinkMsgElementId_as_json":
+                sub["choice_label"] = DOWNLINK_LABELS.get(altname, "")
+            sub["choice"] = altname
+            tref = _choice_tref(s, tname, altname)
+            if tref is not None:
+                self._j(sub, tref, inner)
+            obj[label] = sub
+        elif fn == "asn1_format_SEQUENCE_OF_icao_as_json":
+            node = _terminal(s, tname)
+            arr = []
+            for item in value:
+                it: JsonObj = {}
+                self._j(it, node[1], item)
+                arr.append(it)
+            obj[label] = arr
+        elif fn == "la_asn1_format_long_as_json":
+            obj[label] = int(value)
+        elif fn == "la_asn1_format_bool_as_json":
+            obj[label] = bool(value)
+        elif fn in ("la_asn1_format_any_as_string_as_json",
+                    "la_asn1_format_ENUM_as_json"):
+            obj[label] = self._scalar(tname, value)
+        elif fn == "la_asn1_format_label_only_as_json":
+            obj[label] = True
+        elif fn == "la_asn1_format_OCTET_STRING_as_json":
+            obj[label] = value.hex() if isinstance(value, (bytes, bytearray)) \
+                else self._scalar(tname, value)
+        elif fn in UNIT_FMT_JSON:
+            unit, mult = UNIT_FMT_JSON[fn]
+            v = value * mult
+            obj[label] = {"val": int(v) if isinstance(v, int) else v,
+                          "unit": unit}
+        elif fn in _JSON_ENUM_DICT_FN:
+            d = ENUM_LABEL_DICTS[_JSON_ENUM_DICT_FN[fn]]
+            pretty = None
+            if isinstance(value, str):
+                for sym, disp in d.items():
+                    if sym.endswith(value.replace("-", "_")):
+                        pretty = disp
+                        break
+            obj[label] = pretty or value
+        elif fn in _JSON_BIT_LABEL_FN:
+            d = ENUM_LABEL_DICTS[_JSON_BIT_LABEL_FN[fn]]
+            data, nbits = value
+            obj[label] = [d.get(str(i), f"bit{i}") for i in range(nbits)
+                          if (data[i >> 3] >> (7 - (i & 7))) & 1]
+        elif fn == "asn1_format_Code_as_json":
+            digits = list(value)
+            obj[label] = (digits[0] * 1000 + digits[1] * 100
+                          + digits[2] * 10 + digits[3])
+        elif fn == "asn1_format_DateTime_as_json":
+            d, t = value["date"], value["time"]
+            obj[label] = {"year": d["year"], "month": d["month"],
+                          "day": d["day"], "hour": t["hours"],
+                          "min": t["minutes"]}
+        elif fn == "asn1_format_Timehhmmss_as_json":
+            hm = value["hoursminutes"]
+            obj[label] = {"hour": hm["hours"], "min": hm["minutes"],
+                          "sec": value["seconds"]}
+        elif fn == "asn1_format_Time_as_json":
+            obj[label] = {"hour": value["hours"], "min": value["minutes"]}
+        elif fn in ("asn1_format_Latitude_as_json",
+                    "asn1_format_Longitude_as_json"):
+            obj[label] = self._latlon_json(
+                value, lat=(fn == "asn1_format_Latitude_as_json"))
+        elif fn in ("asn1_format_ADSv2Latitude_as_json",
+                    "asn1_format_ADSv2Longitude_as_json"):
+            sec = value["seconds"] / 10.0
+            obj[label] = {"deg": value["degrees"], "min": value["minutes"],
+                          "sec": int(sec) if sec == int(sec) else sec,
+                          "dir": value["direction"]}
+        elif fn == "asn1_format_RejectDetails_as_json":
+            names = {
+                "aDS-service-unavailable": "ADS_service_unavailable",
+                "undefined-reason": "undefined_reason",
+                "maximum-capacity-exceeded": "max_capacity_exceeded",
+                "reserved": "(reserved)",
+                "waypoint-in-request-not-on-the-route":
+                    "requested_waypoint_not_on_the_route",
+                "aDS-contract-not-supported": "ADS_contract_not_supported",
+                "noneOfReportTypesSupported":
+                    "none_of_report_types_supported",
+                "noneOfEventTypesSupported":
+                    "none_of_event_types_supported"}
+            alt = value[0] if isinstance(value, tuple) else None
+            obj[label] = names.get(alt, "none")
+        elif fn == "asn1_format_ReportingRate_as_json":
+            alt, v = value
+            obj[label] = {"val": int(v),
+                          "unit": "sec" if "seconds" in alt else "min"}
+        elif fn == "asn1_format_OBJECT_IDENTIFIER_as_json":
+            obj[label] = [int(x) for x in value] \
+                if isinstance(value, (tuple, list)) else value
+        else:
+            # unknown formatter name: render structurally so data is
+            # never silently dropped by OUR code (the reference only
+            # drops types absent from its table, handled above)
+            obj[label] = self._generic_json(tname, value)
+
+    def _latlon_json(self, value, lat: bool) -> JsonObj:
+        """asn1-format-icao-json.c:153-199 (deg/min/sec by variant,
+        then dir)."""
+        which = "latitude" if lat else "longitude"
+        out: JsonObj = {}
+        typ = value.get(f"{which}Type")
+        if typ is not None:
+            alt, v = typ
+            if alt.endswith("Degrees"):
+                out["deg"] = v
+            elif alt.endswith("DegreesMinutes"):
+                out["deg"] = v[f"{which}WholeDegrees"]
+                out["min"] = v["minutesLatLon"] / 100.0
+            elif alt.endswith("DMS"):
+                out["deg"] = v[f"{which}WholeDegrees"]
+                out["min"] = v.get("latlonWholeMinutes",
+                                   v.get("latLonWholeMinutes"))
+                out["sec"] = v["secondsLatLon"]
+        out["dir"] = value.get(f"{which}Direction", "")
+        return out
+
+    def _generic_json(self, tname: str, value: Any) -> Any:
+        node = _terminal(self.schema, tname)
+        kind = node[0]
+        if kind == "seq":
+            sub: JsonObj = {}
+            for memb in node[1]:
+                name, tref = memb[0], memb[1]
+                if name in value:
+                    self._j(sub, tref, value[name])
+            return sub
         if kind == "choice":
             altname, inner = value
+            sub = {"choice": altname}
             tref = _choice_tref(self.schema, tname, altname)
-            short = tname.split(".")[-1]
-            rendered = (self.json(tref, inner) if tref is not None
-                        else (inner.hex() if isinstance(inner, bytes)
-                              else inner))
-            obj = {"choice": altname, "data": rendered}
-            if short == "ATCUplinkMsgElementId":
-                obj["choice_label"] = UPLINK_LABELS.get(altname)
-            elif short == "ATCDownlinkMsgElementId":
-                obj["choice_label"] = DOWNLINK_LABELS.get(altname)
-            return obj
+            if tref is not None:
+                self._j(sub, tref, inner)
+            return sub
         if kind == "seqof":
-            return [self.json(node[1], x) for x in value]
-        if kind == "bitstr" or (isinstance(value, tuple) and len(value) == 2
-                                and isinstance(value[0], bytes)):
-            data, nbits = value
-            return {"bits": nbits, "value": data.hex()}
-        if isinstance(value, bytes):
-            return value.hex()
-        if isinstance(value, tuple):
-            return ".".join(str(x) for x in value)
-        return value
+            arr = []
+            for item in value:
+                it: JsonObj = {}
+                self._j(it, node[1], item)
+                arr.append(it)
+            return arr
+        return self._scalar(tname, value)

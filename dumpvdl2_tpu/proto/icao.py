@@ -97,8 +97,11 @@ class Asn1PduNode(ProtoNode):
             out.iline(indent, prefix + repr(value))
 
     def format_json(self, obj: JsonObj) -> None:
-        obj[self.typename] = IcaoFormatter(SCHEMA, self.table).json(
-            self.typename, self.value)
+        # table label of the top type becomes the key (e.g.
+        # "atc_uplink_message"), mirroring la_asn1_output on the top
+        # descriptor (asn1-util.c:71-77)
+        obj.update(IcaoFormatter(SCHEMA, self.table).json(
+            self.typename, self.value))
 
 
 class X225SpduNode(ProtoNode):

@@ -245,3 +245,120 @@ def test_icao_unit_formatters_match_reference():
                 != (unit, mult, dec):
             mismatches[name] = {"ref": (unit, mult, dec), "ours": ours}
     assert not mismatches, mismatches
+
+
+# ----------------------------------------------------- JSON key layer
+
+# JSON key sets, mechanically extracted from the reference and required
+# to exist in the corresponding module.  The reference emits keys via
+# la_json_append_*() / la_json_object_start() literals and via
+# la_type_descriptor .json_key fields; ours appear either as string
+# literals ("key") or as JsonObj keyword arguments (key=...).  One
+# deliberate divergence is allowlisted: the app name value (not key)
+# "dumpvdl2" vs "dumpvdl2_tpu".
+_JSON_KEY_MAP = [
+    ("avlc.c", ["proto/avlc.py", "proto/enrich.py"], 10),
+    ("xid.c", ["proto/xid.py"], 40),
+    ("x25.c", ["proto/x25.py"], 20),
+    ("clnp.c", ["proto/clnp.py", "proto/atn.py"], 25),
+    ("cotp.c", ["proto/cotp.py"], 40),
+    ("esis.c", ["proto/esis.py", "proto/atn.py"], 10),
+    ("idrp.c", ["proto/idrp.py", "proto/atn.py"], 40),
+    ("atn.c", ["proto/atn.py"], 4),
+    ("icao.c", ["proto/icao.py"], 5),
+    ("fmtr-json.c", ["io/formatters.py"], 14),
+]
+
+_JSON_APPEND = re.compile(
+    r'la_json_(?:append_\w+|object_start|array_start)\('
+    r'\s*[\w.>&-]+\s*,\s*"([^"]+)"')
+_JSON_KEY_FIELD = re.compile(r'json_key\s*=\s*"([^"]+)"')
+
+
+@pytest.mark.parametrize("cfile,modules,min_keys", _JSON_KEY_MAP,
+                         ids=[m[0] for m in _JSON_KEY_MAP])
+def test_json_keys_match_reference(cfile, modules, min_keys):
+    """Every JSON object key the reference's formatter for this layer
+    emits must exist in our module — a consumer parsing the
+    reference's JSON field names must find the same names in ours."""
+    src = _strip_c_comments(_src(cfile))
+    pkg = pathlib.Path(__file__).parent.parent / "dumpvdl2_tpu"
+    ours = "".join((pkg / m).read_text() for m in modules)
+    ours = re.sub(r'"\s*\n\s*"', "", ours)
+    keys = set(_JSON_APPEND.findall(src)) | set(_JSON_KEY_FIELD.findall(src))
+    assert len(keys) >= min_keys, \
+        f"extraction too thin for {cfile}: {sorted(keys)}"
+    missing = [k for k in sorted(keys)
+               if not re.search(r'["\']%s["\']|\b%s\s*=[^=]'
+                                % (re.escape(k), re.escape(k)), ours)]
+    assert not missing, \
+        f"{cfile} JSON keys missing from {modules}: {missing}"
+
+
+def test_icao_json_unit_formatters_match_reference():
+    """asn1-format-icao-json.c: every
+    la_format_INTEGER_with_unit_as_json(unit, mult) call site must
+    have our UNIT_FMT_JSON carrying the exact same (unit, multiplier)
+    pair — the CPDLC/ADS-C numeric JSON value layer."""
+    src = _src("asn1-format-icao-json.c")
+    from dumpvdl2_tpu.proto.asn1.format import UNIT_FMT_JSON
+
+    pat = re.compile(
+        r"LA_ASN1_FORMATTER_FUNC\((asn1_format_\w+_as_json)\)\s*\{\s*"
+        r'la_format_INTEGER_with_unit_as_json\(p,\s*"([^"]*)",\s*'
+        r"([\d.]+)\)", re.S)
+    found = {name: (unit.replace("%%", "%"), float(mult))
+             for name, unit, mult in pat.findall(src)}
+    assert len(found) >= 20, f"extraction too thin: {len(found)}"
+    mismatches = {}
+    for name, (unit, mult) in found.items():
+        ours = UNIT_FMT_JSON.get(name)
+        if ours is None or (ours[0], float(ours[1])) != (unit, mult):
+            mismatches[name] = {"ref": (unit, mult), "ours": ours}
+    assert not mismatches, mismatches
+
+
+def test_icao_json_table_labels_are_consumed():
+    """The machine-extracted JSON_FMT labels drive our ICAO JSON keys:
+    render a CPDLC uplink and assert the reference's snake_case keys
+    (from the asn1_icao_formatter_table_json labels) appear."""
+    from dumpvdl2_tpu.proto.asn1.format import IcaoFormatter
+    from dumpvdl2_tpu.proto.icao import SCHEMA
+    value = {
+        "header": {
+            "messageIdNumber": 7,
+            "dateTime": {"date": {"year": 2026, "month": 8, "day": 20},
+                         "timehhmmss": {
+                             "hoursminutes": {"hours": 10, "minutes": 30},
+                             "seconds": 5}},
+        },
+        "messageData": {"elementIds": [
+            ("uM20Level", ("singleLevel", ("levelFlightLevel", 350)))]},
+    }
+    got = IcaoFormatter(SCHEMA, "icao").json("ATCUplinkMessage", value)
+    top = got["atc_uplink_message"]
+    assert top["header"]["msg_id"] == 7
+    # hand-written compound formatter keys, asn1-format-icao-json.c
+    assert top["header"]["timestamp"]["time"] == \
+        {"hour": 10, "min": 30, "sec": 5}
+    el = top["msg_data"]["msg_elements"][0]["msg_element"]
+    assert el["choice"] == "uM20Level"
+    assert el["choice_label"] == "CLIMB TO [level]"
+    assert el["level"]["level_type"]["flight_level"] == 350
+
+
+def test_icao_json_literal_compound_keys_match_reference():
+    """The hand-written JSON formatters' literal keys (deg/min/sec/dir,
+    year/month/day/hour, val/unit wrappers...) extracted from
+    asn1-format-icao-json.c must all appear in our renderer source."""
+    src = _strip_c_comments(_src("asn1-format-icao-json.c"))
+    keys = set(_JSON_APPEND.findall(src))
+    assert {"deg", "min", "sec", "dir", "year", "month", "day",
+            "hour"} <= keys, keys
+    ours = (pathlib.Path(__file__).parent.parent / "dumpvdl2_tpu"
+            / "proto" / "asn1" / "format.py").read_text()
+    ours = re.sub(r'"\s*\n\s*"', "", ours)
+    missing = [k for k in sorted(keys)
+               if not re.search(r'["\']%s["\']|\b%s\s*=[^=]'
+                                % (re.escape(k), re.escape(k)), ours)]
+    assert not missing, f"ICAO JSON compound keys missing: {missing}"
