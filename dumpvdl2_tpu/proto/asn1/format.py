@@ -1,4 +1,4 @@
-"""Schema-driven text/JSON rendering of decoded ICAO ASN.1 values.
+"""Table-driven text/JSON rendering of decoded ICAO ASN.1 values.
 
 Re-implements the reference's formatter-table architecture
 (asn1-format-icao-text.c:1044-1537, asn1-format-icao-json.c, plus the
@@ -6,7 +6,9 @@ libacars asn1-format-common generics it builds on): every ASN.1 type
 has a rendering style and display label; SEQUENCE/CHOICE/SET OF walk
 their children through the same dispatch; CPDLC message-element CHOICEs
 print ICAO Doc 9880 phraseology; physical quantities print with their
-unit and scale factor.
+unit and scale factor.  JSON output uses the reference's own
+snake_case table labels as keys (JSON_FMT/ACSE_JSON_FMT), so field
+names match what consumers of the reference's JSON already parse.
 
 The dispatch metadata lives in icao_meta.py (machine-extracted); the
 engine below is original.
